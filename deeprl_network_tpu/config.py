@@ -1,0 +1,237 @@
+"""Typed configuration system, .ini-compatible with the reference configs.
+
+The reference (main.py ~L80, SURVEY.md section 2.2 item 10) reads a
+``configparser`` .ini file with three sections — ``[ENV_CONFIG]``,
+``[MODEL_CONFIG]``, ``[TRAIN_CONFIG]`` — one file per (algorithm x scenario),
+and snapshots the file into the run dir. We keep that surface: the same .ini
+files load 1:1 here, but are parsed into typed frozen dataclasses so that
+everything reaching jitted code is a static Python value.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+def _parse_scalar(v: str):
+    s = v.strip()
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def _parse_list(v: str, typ=float):
+    return [typ(x) for x in v.replace(" ", "").split(",") if x != ""]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """[MODEL_CONFIG] — reference agents/models.py + agents/policies.py knobs.
+
+    Defaults follow SURVEY.md Appendix B (grid MA2C values, [M] confidence).
+    """
+
+    rmsp_alpha: float = 0.99
+    rmsp_epsilon: float = 1e-5
+    max_grad_norm: float = 40.0
+    gamma: float = 0.99
+    lr_init: float = 5e-4
+    lr_min: float = 0.0
+    lr_decay: str = "constant"  # constant | linear
+    entropy_coef: float = 0.01
+    entropy_decay: str = "constant"
+    entropy_ratio: float = 0.5
+    value_coef: float = 0.5
+    num_lstm: int = 64
+    num_fc: int = 64
+    batch_size: int = 120  # n_step rollout length T
+    reward_norm: float = 2000.0
+    reward_clip: float = 2.0
+    # TPU-native additions (no reference equivalent):
+    num_envs: int = 1           # B parallel env instances per replica
+    dtype: str = "float32"      # compute dtype for the policy nets
+
+    @property
+    def n_step(self) -> int:
+        return self.batch_size
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """[TRAIN_CONFIG] — reference utils.py Counter knobs."""
+
+    total_step: int = 1_000_000
+    test_interval: int = 20_000
+    log_interval: int = 10_000
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """[ENV_CONFIG] — superset of reference keys across CACC and ATSC.
+
+    CACC keys per SURVEY.md section 2.2 item 9 / Appendix B; ATSC keys per
+    section 2.2 item 6. Unused keys for a given scenario are ignored by that
+    env's constructor.
+    """
+
+    scenario: str = "cacc_catchup"
+    coop_gamma: float = -1.0
+    seed: int = 12
+    test_seeds: Tuple[int, ...] = (2000, 2500, 3000)
+
+    # --- CACC (envs/cacc_env.py) ---
+    n_vehicle: int = 8
+    dt: float = 0.1
+    episode_length: int = 600        # steps (60 s at dt=0.1)
+    h_star: float = 20.0
+    v_star: float = 15.0
+    h_st: float = 5.0
+    h_go: float = 35.0
+    v_max: float = 30.0
+    u_max: float = 2.5
+    h_min: float = 1.0               # collision threshold
+    catchup_ratio: float = 2.0       # headway multiple for lead vehicle
+    slowdown_v0: float = 30.0        # initial leader speed (slow-down)
+    slowdown_t: float = 30.0         # seconds over which leader decelerates
+    w_h: float = 1.0                 # headway cost weight
+    w_v: float = 5.0                 # velocity cost weight
+    w_u: float = 1.0                 # control cost weight
+    collision_penalty: float = 1000.0
+    init_noise_h: float = 1.0        # uniform +- noise on initial headway [M]
+    init_noise_v: float = 1.0        # uniform +- noise on initial velocity [M]
+
+    # --- ATSC (envs/atsc_env.py / large_grid_env.py / real_net_env.py) ---
+    episode_length_sec: int = 3600
+    control_interval_sec: int = 5
+    yellow_interval_sec: int = 2
+    objective: str = "queue"         # queue | wait | hybrid
+    norm_wave: float = 5.0
+    norm_wait: float = 100.0
+    clip_wave: float = 2.0
+    clip_wait: float = 2.0
+    coef_wait: float = 0.2
+    peak_flow1: float = 1100.0       # veh/hr, grid demand group 1
+    peak_flow2: float = 925.0        # veh/hr, grid demand group 2
+    init_density: float = 0.0        # initial queue fill fraction
+    sat_flow: float = 0.5            # veh/s saturation discharge per lane
+    lane_capacity: float = 40.0      # veh per movement-queue
+    demand_scale: float = 1.0
+
+    @property
+    def episode_steps_atsc(self) -> int:
+        return self.episode_length_sec // self.control_interval_sec
+
+
+@dataclass(frozen=True)
+class Config:
+    agent: str = "ma2c_nc"
+    env: EnvConfig = field(default_factory=EnvConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    @property
+    def scenario(self) -> str:
+        return self.env.scenario
+
+
+_SECTION_TO_CLS = {
+    "ENV_CONFIG": EnvConfig,
+    "MODEL_CONFIG": ModelConfig,
+    "TRAIN_CONFIG": TrainConfig,
+}
+
+# reference key -> our field, where names differ
+_KEY_ALIASES = {
+    "n_step": "batch_size",
+}
+
+
+def _load_section(cls, section: configparser.SectionProxy):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, raw in section.items():
+        name = _KEY_ALIASES.get(key, key)
+        if name not in fields:
+            continue  # tolerate unknown reference keys
+        f = fields[name]
+        if f.type in ("Tuple[int, ...]",):
+            kwargs[name] = tuple(_parse_list(raw, int))
+        else:
+            val = _parse_scalar(raw)
+            if f.type == "float" and isinstance(val, int):
+                val = float(val)
+            if f.type == "int" and isinstance(val, float):
+                val = int(val)
+            kwargs[name] = val
+    return cls(**kwargs)
+
+
+def load_config(path: str, agent: Optional[str] = None) -> Config:
+    """Load a reference-style .ini file (reference main.py ~L80 reads these).
+
+    ``agent`` may be given explicitly or via an ``agent`` key in
+    [MODEL_CONFIG]/[ENV_CONFIG]; otherwise it is inferred from the filename
+    (config_<agent>_<scenario>.ini, the reference naming scheme).
+    """
+    cp = configparser.ConfigParser()
+    if not cp.read(path):
+        raise FileNotFoundError(path)
+    sections = {}
+    for sec_name, cls in _SECTION_TO_CLS.items():
+        if cp.has_section(sec_name):
+            sections[sec_name] = _load_section(cls, cp[sec_name])
+        else:
+            sections[sec_name] = cls()
+    if agent is None:
+        for sec in ("MODEL_CONFIG", "ENV_CONFIG"):
+            if cp.has_section(sec) and cp.has_option(sec, "agent"):
+                agent = cp.get(sec, "agent")
+                break
+    if agent is None:
+        base = os.path.basename(path)
+        if base.startswith("config_"):
+            parts = base[len("config_"):].rsplit(".", 1)[0]
+            for known in ("ia2c_fp", "ia2c_cu", "ma2c_nc", "ma2c_cnet",
+                          "ma2c_dial", "ia2c"):
+                if parts.startswith(known):
+                    agent = known
+                    break
+    if agent is None:
+        agent = "ia2c"
+    return Config(
+        agent=agent,
+        env=sections["ENV_CONFIG"],
+        model=sections["MODEL_CONFIG"],
+        train=sections["TRAIN_CONFIG"],
+    )
+
+
+def save_config(cfg: Config, path: str) -> None:
+    """Snapshot the config into the run dir (reference main.py copy_file)."""
+    cp = configparser.ConfigParser()
+    for sec_name, obj in (
+        ("ENV_CONFIG", cfg.env),
+        ("MODEL_CONFIG", cfg.model),
+        ("TRAIN_CONFIG", cfg.train),
+    ):
+        cp.add_section(sec_name)
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            if isinstance(v, tuple):
+                v = ",".join(str(x) for x in v)
+            cp.set(sec_name, f.name, str(v))
+    cp.set("MODEL_CONFIG", "agent", cfg.agent)
+    with open(path, "w") as fh:
+        cp.write(fh)

@@ -1,0 +1,220 @@
+"""SUMO-free traffic-signal network engine: store-and-forward queue/flow
+dynamics as a pure JAX step function.
+
+This is the TPU-native replacement for the reference L0/L1 stack
+(envs/atsc_env.py TrafficSimulator + the external SUMO microsimulator over
+TraCI; SURVEY.md sections 0, 2.2 item 6, call stack 3.1). The reference's
+per-control-step protocol — set yellow phase, simulate yellow seconds, set
+green, 1-second ``traci.simulationStep`` loop with measurement — becomes a
+``lax.scan`` over 1-second substeps of vectorized per-lane queue updates;
+thousands of network instances integrate in lockstep under ``vmap``.
+
+Fidelity target (SURVEY.md section 7 step 5): *task-structure* equivalence
+with the reference's ATSC tasks — same state semantics (per-lane "wave"
+counts normalized by norm_wave, waiting time of the head vehicle), same
+action semantics (choose one green phase per node per 5 s control
+interval, 2 s yellow inserted on phase switches), same reward families
+(queue / wait / hybrid), same neighbor/distance masks — NOT microscopic
+trajectory equality, which died with SUMO by design.
+
+Dynamics model (store-and-forward with expected-space spillback):
+- every movement (approach lane group) is a queue q_l in [0, cap];
+- when its phase is green (and not in the yellow window after a switch) it
+  discharges at saturation flow ``sat_flow`` veh/s, limited by the queue
+  and by expected downstream space sum_l' R[l,l'] max(cap - q_l', 0);
+- discharged vehicles are routed by the static turn matrix R[l, l']
+  (rows sum <= 1; the remainder exits the network);
+- external demand arrives at entry lanes from a precomputed per-step
+  schedule (the reference's time-varying peak_flow route patterns);
+  demand that cannot enter a full lane is dropped and counted;
+- head-vehicle waiting time w_l accumulates every second a non-empty lane
+  fails to discharge and resets when it discharges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deeprl_network_tpu.config import EnvConfig
+from deeprl_network_tpu.envs.base import Env, EnvSpec, hop_distances
+
+
+@dataclass
+class NetworkTopology:
+    """Static description assembled by a scenario builder (grid/monaco).
+
+    All arrays are numpy; lanes are movement queues with global indices.
+    """
+
+    n_node: int
+    lane_node: np.ndarray         # [L] owning node
+    phase_gate: np.ndarray        # [M, P_max, L] {0,1} discharge gates
+    phase_valid: np.ndarray       # [M, P_max] {0,1}
+    route: np.ndarray             # [L, L] turn fractions (rows sum <= 1)
+    entry_lane: np.ndarray        # [L] {0,1}
+    demand: np.ndarray            # [T_episode, L] veh/s external arrivals
+    node_adj: np.ndarray          # [M, M] {0,1}
+    node_lanes: List[List[int]]   # per node, ordered incoming lane ids
+
+    @property
+    def n_lane(self) -> int:
+        return len(self.lane_node)
+
+
+@struct.dataclass
+class NetworkState:
+    queue: jax.Array       # [L]
+    wait: jax.Array        # [L] head-vehicle waiting seconds
+    prev_phase: jax.Array  # [M] int32
+    t: jax.Array           # [] control-step count int32
+    done: jax.Array        # [] bool
+    dropped: jax.Array     # [] veh lost to full entry lanes (diagnostic)
+
+
+class TrafficNetworkEnv(Env):
+    """Generic signalized network; scenario builders construct the
+    :class:`NetworkTopology` (grid.py, monaco.py)."""
+
+    def __init__(self, cfg: EnvConfig, topo: NetworkTopology):
+        self.cfg = cfg
+        self.topo = topo
+        M = topo.n_node
+        n_a_ls = tuple(int(v.sum()) for v in topo.phase_valid)
+        max_lanes = max(len(ls) for ls in topo.node_lanes)
+        self.max_lanes = max_lanes
+        self._use_wait = cfg.objective in ("wait", "hybrid")
+        n_s_ls = tuple(
+            len(ls) * (2 if self._use_wait else 1) for ls in topo.node_lanes)
+        dist = hop_distances(topo.node_adj)
+        self.spec = EnvSpec(
+            n_agent=M, n_s_ls=n_s_ls, n_a_ls=n_a_ls,
+            neighbor_mask=topo.node_adj.astype(np.float32),
+            distance_mask=dist, coop_gamma=cfg.coop_gamma)
+        # lane gather [M, max_lanes]: -1 padded -> gathers lane 0, masked
+        gather = np.zeros((M, max_lanes), np.int64)
+        gmask = np.zeros((M, max_lanes), np.float32)
+        for m, ls in enumerate(topo.node_lanes):
+            gather[m, :len(ls)] = ls
+            gmask[m, :len(ls)] = 1.0
+        self._gather = gather
+        self._gmask = gmask
+        self._node_lane_mask = np.zeros((M, topo.n_lane), np.float32)
+        for m, ls in enumerate(topo.node_lanes):
+            self._node_lane_mask[m, ls] = 1.0
+        self.episode_steps = cfg.episode_steps_atsc
+        assert topo.demand.shape[0] >= self.episode_steps
+
+    # ---- pure functions ----
+
+    def reset(self, key: jax.Array) -> Tuple[NetworkState, jax.Array]:
+        L = self.topo.n_lane
+        q0 = jnp.zeros((L,), jnp.float32)
+        if self.cfg.init_density > 0:
+            q0 = (jax.random.uniform(key, (L,)) * self.cfg.init_density
+                  * self.cfg.lane_capacity)
+        state = NetworkState(
+            queue=q0, wait=jnp.zeros((L,), jnp.float32),
+            prev_phase=jnp.zeros((self.topo.n_node,), jnp.int32),
+            t=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+            dropped=jnp.zeros((), jnp.float32))
+        return state, self._obs(state)
+
+    def _obs(self, s: NetworkState) -> jax.Array:
+        c = self.cfg
+        wave = jnp.clip(s.queue / c.norm_wave, 0.0, c.clip_wave)
+        g = jnp.asarray(self._gather)
+        gm = jnp.asarray(self._gmask)
+        ob = wave[g] * gm                                  # [M, max_lanes]
+        if self._use_wait:
+            wt = jnp.clip(s.wait / c.norm_wait, 0.0, c.clip_wait)
+            ob = jnp.concatenate([ob, wt[g] * gm], axis=-1)
+        # pack per-agent: valid dims are the first n_s_ls[i] of each row
+        return ob.astype(jnp.float32)
+
+    def step(self, s: NetworkState, action: jax.Array
+             ) -> Tuple[NetworkState, jax.Array, jax.Array, jax.Array,
+                        Dict[str, jax.Array]]:
+        """action: [M] int32 phase index per node."""
+        c = self.cfg
+        topo = self.topo
+        gate_all = jnp.asarray(topo.phase_gate, jnp.float32)   # [M, P, L]
+        route = jnp.asarray(topo.route, jnp.float32)
+        entry = jnp.asarray(topo.entry_lane, jnp.float32)
+        cap = c.lane_capacity
+
+        # clamp invalid (padded) phases to 0
+        n_valid = jnp.asarray(topo.phase_valid.sum(1).astype(np.int32))
+        act = jnp.clip(action, 0, n_valid - 1)
+        # green gate of the chosen phase, per lane: [L]
+        lane_gate = jnp.einsum("mpl,mp->l", gate_all,
+                               jax.nn.one_hot(act, gate_all.shape[1]))
+        switched = (act != s.prev_phase).astype(jnp.float32)   # [M]
+        # yellow window: lanes of switched nodes see no green for the
+        # first yellow_interval_sec substeps (reference step ~L260)
+        lane_switch = jnp.einsum("ml,m->l",
+                                 jnp.asarray(self._node_lane_mask), switched)
+        demand_t = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(topo.demand, jnp.float32),
+            jnp.minimum(s.t, topo.demand.shape[0] - 1), keepdims=False)
+
+        def substep(carry, k):
+            q, w, dropped = carry
+            yellow = (k < c.yellow_interval_sec).astype(jnp.float32)
+            g = lane_gate * (1.0 - yellow * lane_switch)       # [L]
+            space = route @ jnp.maximum(cap - q, 0.0)
+            route_out = route.sum(1)                            # [L]
+            # lanes whose flow exits the network are never blocked
+            space = jnp.where(route_out > 1e-6,
+                              space / jnp.maximum(route_out, 1e-6), cap)
+            dq = jnp.minimum(jnp.minimum(q, g * c.sat_flow), space)
+            arrivals = route.T @ dq
+            inflow = demand_t * entry
+            q2 = q + arrivals - dq
+            # entry demand blocked when lane full
+            free = jnp.maximum(cap - q2, 0.0)
+            accepted = jnp.minimum(inflow, free)
+            q2 = jnp.minimum(q2 + accepted, cap)
+            dropped = dropped + jnp.sum(inflow - accepted)
+            served = (dq > 1e-4).astype(jnp.float32)
+            w2 = (w + 1.0) * (q2 > 0.1).astype(jnp.float32) * (1.0 - served)
+            return (q2, w2, dropped), jnp.sum(dq)
+
+        (q, w, dropped), flows = jax.lax.scan(
+            substep, (s.queue, s.wait, s.dropped),
+            jnp.arange(c.control_interval_sec))
+
+        t_new = s.t + 1
+        done = t_new >= self.episode_steps
+        s_new = NetworkState(queue=q, wait=w, prev_phase=act, t=t_new,
+                             done=done, dropped=dropped)
+        node_mask = jnp.asarray(self._node_lane_mask)
+        node_queue = node_mask @ q                              # [M]
+        node_wait = node_mask @ w
+        if c.objective == "queue":
+            reward = -node_queue
+        elif c.objective == "wait":
+            reward = -node_wait
+        else:  # hybrid
+            reward = -(node_queue + c.coef_wait * node_wait)
+        info = {"avg_queue": jnp.mean(node_queue),
+                "avg_wait": jnp.mean(node_wait),
+                "throughput": jnp.sum(flows),
+                "dropped": dropped}
+        return s_new, self._obs(s_new), reward.astype(jnp.float32), done, info
+
+    # ---- greedy baseline (reference LargeGridController/RealNetController)
+
+    def greedy_action(self, s: NetworkState) -> jax.Array:
+        """Pick, per node, the valid phase serving the largest total queue
+        (reference greedy controllers, SURVEY.md section 2.2 items 7-8)."""
+        gate = jnp.asarray(self.topo.phase_gate, jnp.float32)
+        valid = jnp.asarray(self.topo.phase_valid, jnp.float32)
+        served = jnp.einsum("mpl,l->mp", gate, s.queue)
+        served = jnp.where(valid > 0, served, -jnp.inf)
+        return jnp.argmax(served, axis=-1).astype(jnp.int32)

@@ -1,0 +1,237 @@
+"""Multi-agent recurrent policies: the six reference algorithm families as
+one LSTM cell with pluggable neighbor message passing.
+
+TPU-native rebuild of the reference ``agents/policies.py`` (SURVEY.md
+section 2.2 item 4 and Appendix A — spec of record). The reference builds,
+per agent i, TF1 graphs that CONCATENATE variable-size neighbor inputs
+(obs, fingerprints, hidden states) and multiply by one big weight matrix.
+Concatenation over a static neighborhood is mathematically identical to a
+sum of per-edge weight blocks:
+
+    W @ concat(x_j for j in N(i))  ==  sum_j A[i,j] * (W_block[i,j] @ x_j)
+
+so here every comm path is a dense masked einsum over stacked per-edge
+block weights [N, N, d_in, d_out] — batched matmuls that map straight onto
+the MXU, with the {0,1} adjacency as a static mask. Per-agent parameters
+are stacked on a leading [N] axis and vmapped (SURVEY.md section 7 build
+plan).
+
+Family -> comm type (reference class in agents/policies.py):
+- IA2C      -> CommType.NONE      (LstmPolicy, ~L80)
+- IA2C_FP   -> CommType.FP        (FPPolicy, ~L170: obs + neighbor
+                                   fingerprints, data-only / no grad path)
+- IA2C_CU   -> CommType.NONE + :func:`consensus_update`
+                                  (ConsensusPolicy, ~L300)
+- MA2C_NC   -> CommType.NEURCOMM  (NCMultiAgentPolicy, ~L200:
+    e_i = relu(Wx.concat(ob_i, fp_N(i)) + Wm.concat(h_N(i), t-1));
+    gradients flow through neighbor h — differentiable comm)
+- MA2C_CNET -> CommType.COMMNET   (CommNetMultiAgentPolicy, ~L340:
+    shared linear map of the MEAN neighbor hidden state)
+- MA2C_DIAL -> CommType.DIAL      (DIALMultiAgentPolicy, ~L380: learned
+    per-agent message vectors delivered to neighbors, differentiable)
+
+Heads (Policy base ~L10): pi_i = softmax(W_a[i] h_i) with -inf padding
+mask for heterogeneous action counts; V_i = w_v[i] . h_i.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprl_network_tpu.models.layers import (
+    FCParams, LSTMParams, fc_init, lstm_init, lstm_step, ortho_init,
+)
+
+BIG_NEG = -1e9
+
+
+class CommType(str, enum.Enum):
+    NONE = "none"
+    FP = "fp"
+    NEURCOMM = "neurcomm"
+    COMMNET = "commnet"
+    DIAL = "dial"
+
+
+AGENT_TO_COMM = {
+    "ia2c": CommType.NONE,
+    "ia2c_fp": CommType.FP,
+    "ia2c_cu": CommType.NONE,
+    "ma2c_nc": CommType.NEURCOMM,
+    "ma2c_cnet": CommType.COMMNET,
+    "ma2c_dial": CommType.DIAL,
+}
+
+
+@dataclass(frozen=True)
+class PolicySpec:
+    """Static policy description; safe to close over under jit."""
+
+    n_agent: int
+    n_s_max: int
+    n_a_max: int
+    n_fc: int = 64
+    n_lstm: int = 64
+    comm_type: CommType = CommType.NONE
+    n_msg: int = 64                      # DIAL message width
+    # numpy statics (excluded from eq/hash; never traced)
+    neighbor_mask: Optional[np.ndarray] = field(default=None, hash=False,
+                                                compare=False)
+    action_mask: Optional[np.ndarray] = field(default=None, hash=False,
+                                              compare=False)
+
+    def adj(self) -> np.ndarray:
+        a = self.neighbor_mask
+        if a is None:
+            a = np.zeros((self.n_agent, self.n_agent), np.float32)
+        return a.astype(np.float32)
+
+    def logit_mask(self) -> np.ndarray:
+        """Additive mask: 0 for valid actions, BIG_NEG for padding."""
+        if self.action_mask is None:
+            return np.zeros((self.n_agent, self.n_a_max), np.float32)
+        return ((1.0 - self.action_mask) * BIG_NEG).astype(np.float32)
+
+
+class PolicyParams(NamedTuple):
+    w_obs: FCParams                 # [N] batched: n_s_max -> n_fc
+    lstm: LSTMParams                # [N] batched: n_fc -> n_lstm
+    actor: FCParams                 # [N] batched: n_lstm -> n_a_max
+    critic: FCParams                # [N] batched: n_lstm -> 1
+    w_fp: Optional[jax.Array]       # [N, N, n_a_max, n_fc] (FP/NEURCOMM)
+    w_msg: Optional[jax.Array]      # NEURCOMM: [N,N,n_lstm,n_fc];
+                                    # DIAL: [N,N,n_msg,n_fc];
+                                    # COMMNET: [n_lstm, n_fc] shared
+    w_dial: Optional[FCParams]      # [N] batched: n_lstm -> n_msg (DIAL)
+
+
+class Carry(NamedTuple):
+    c: jax.Array  # [N, n_lstm]
+    h: jax.Array  # [N, n_lstm]
+
+
+def init_carry(spec: PolicySpec, dtype=jnp.float32) -> Carry:
+    z = jnp.zeros((spec.n_agent, spec.n_lstm), dtype)
+    return Carry(z, z)
+
+
+def init_fingerprint(spec: PolicySpec, dtype=jnp.float32) -> jax.Array:
+    """Uniform policy fingerprints at episode start (reference Node.fingerprint
+    init in envs/atsc_env.py ~L60)."""
+    m = jnp.asarray(spec.action_mask if spec.action_mask is not None
+                    else np.ones((spec.n_agent, spec.n_a_max), np.float32))
+    return (m / jnp.sum(m, -1, keepdims=True)).astype(dtype)
+
+
+def init_policy_params(key: jax.Array, spec: PolicySpec,
+                       dtype=jnp.float32) -> PolicyParams:
+    """Orthogonal init per block; per-edge blocks scaled by 1/sqrt(deg) so
+    the summed message keeps the variance the reference's concat-ortho init
+    gives (init detail, [M]; learning-curve equivalence is the target)."""
+    n, s, a = spec.n_agent, spec.n_s_max, spec.n_a_max
+    ks = jax.random.split(key, 8)
+    adj = spec.adj()
+    deg = np.maximum(adj.sum(1), 1.0)
+    edge_scale = (1.0 / np.sqrt(deg))[:, None, None, None]
+
+    w_obs = fc_init(ks[0], s, spec.n_fc, scale=np.sqrt(2.0),
+                    batch_shape=(n,), dtype=dtype)
+    lstm = lstm_init(ks[1], spec.n_fc, spec.n_lstm, scale=1.0,
+                     batch_shape=(n,), dtype=dtype)
+    actor = fc_init(ks[2], spec.n_lstm, a, scale=0.01,
+                    batch_shape=(n,), dtype=dtype)
+    critic = fc_init(ks[3], spec.n_lstm, 1, scale=1.0,
+                     batch_shape=(n,), dtype=dtype)
+
+    w_fp = w_msg = w_dial = None
+    ct = spec.comm_type
+    if ct in (CommType.FP, CommType.NEURCOMM):
+        w_fp = ortho_init(ks[4], (n, n, a, spec.n_fc), np.sqrt(2.0),
+                          dtype) * edge_scale
+    if ct == CommType.NEURCOMM:
+        w_msg = ortho_init(ks[5], (n, n, spec.n_lstm, spec.n_fc),
+                           np.sqrt(2.0), dtype) * edge_scale
+    elif ct == CommType.COMMNET:
+        w_msg = ortho_init(ks[5], (spec.n_lstm, spec.n_fc),
+                           np.sqrt(2.0), dtype)
+    elif ct == CommType.DIAL:
+        w_msg = ortho_init(ks[5], (n, n, spec.n_msg, spec.n_fc),
+                           np.sqrt(2.0), dtype) * edge_scale
+        w_dial = fc_init(ks[6], spec.n_lstm, spec.n_msg, scale=np.sqrt(2.0),
+                         batch_shape=(n,), dtype=dtype)
+    return PolicyParams(w_obs, lstm, actor, critic, w_fp, w_msg, w_dial)
+
+
+def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
+                obs: jax.Array, fp: jax.Array, done: jax.Array
+                ) -> Tuple[Carry, jax.Array, jax.Array]:
+    """One control step for all N agents of ONE env instance.
+
+    obs: [N, n_s_max] zero-padded; fp: [N, n_a_max] neighbor fingerprints
+    (previous-step policy probs — data, not a gradient path, matching the
+    reference where fingerprints are numpy feeds); done: scalar in {0,1} —
+    resets the LSTM carry (reference lstm done-masking).
+
+    Returns (new_carry, masked logits [N, n_a_max], values [N]).
+    Batch over envs with ``jax.vmap`` (spec/params broadcast).
+    """
+    adj = jnp.asarray(spec.adj())
+    h_prev = carry.h * (1.0 - done).astype(carry.h.dtype)
+
+    # input embedding: own obs through per-agent fc
+    e = jnp.einsum("ns,nsf->nf", obs, params.w_obs.w) + params.w_obs.b
+    ct = spec.comm_type
+    if ct in (CommType.FP, CommType.NEURCOMM):
+        fp_in = jax.lax.stop_gradient(fp)
+        e = e + jnp.einsum("nm,ma,nmaf->nf", adj, fp_in, params.w_fp)
+    if ct == CommType.NEURCOMM:
+        # differentiable comm: gradient flows into neighbors' h
+        e = e + jnp.einsum("nm,mh,nmhf->nf", adj, h_prev, params.w_msg)
+    elif ct == CommType.COMMNET:
+        deg = jnp.maximum(adj.sum(-1, keepdims=True), 1.0)
+        mean_h = (adj @ h_prev) / deg
+        e = e + mean_h @ params.w_msg
+    elif ct == CommType.DIAL:
+        m = jnp.einsum("mh,mhk->mk", h_prev, params.w_dial.w) + params.w_dial.b
+        e = e + jnp.einsum("nm,mk,nmkf->nf", adj, m, params.w_msg)
+    e = jax.nn.relu(e)
+
+    done_n = jnp.broadcast_to(done, (spec.n_agent,))
+    new_carry, h = jax.vmap(lstm_step)(params.lstm, (carry.c, carry.h),
+                                       e, done_n)
+    logits = jnp.einsum("nh,nha->na", h, params.actor.w) + params.actor.b
+    logits = logits + jnp.asarray(spec.logit_mask())
+    value = (jnp.einsum("nh,nhv->nv", h, params.critic.w)
+             + params.critic.b)[..., 0]
+    return Carry(*new_carry), logits, value
+
+
+def consensus_matrix(neighbor_mask: np.ndarray) -> np.ndarray:
+    """Row-normalized (A + I): theta_i <- mean over N(i) u {i}."""
+    a = neighbor_mask.astype(np.float32) + np.eye(len(neighbor_mask),
+                                                 dtype=np.float32)
+    return a / a.sum(1, keepdims=True)
+
+
+def consensus_update(params: PolicyParams, neighbor_mask: np.ndarray
+                     ) -> PolicyParams:
+    """IA2C_CU post-update weight consensus (reference ConsensusPolicy
+    ~L300 / models.py IA2C_CU ~L260): every leaf with a leading agent axis
+    is averaged over the closed neighborhood."""
+    c = jnp.asarray(consensus_matrix(neighbor_mask))
+
+    def avg(leaf):
+        if leaf is None:
+            return None
+        # weight averaging must be exact (f32) even where matmuls default
+        # to bf16 on TPU
+        return jnp.einsum("ij,j...->i...", c, leaf,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return jax.tree.map(avg, params, is_leaf=lambda x: x is None)

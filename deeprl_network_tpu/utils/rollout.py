@@ -1,0 +1,287 @@
+"""Fused on-device A2C actor-learner step.
+
+The reference hot loop (SURVEY.md call stack 3.1: Trainer.explore's n_step
+python loop of sess.run forward + TraCI env.step + buffer append, then
+model.backward's BPTT sess.run) collapses here into ONE jitted function:
+
+    train_step(ts) -> (ts', metrics)
+
+which scans T = n_step control steps of B vmapped env instances (policy
+forward, action sampling, env dynamics, fingerprint update, auto-reset),
+computes normalized + spatially-discounted n-step returns, replays the
+window for truncated BPTT, and applies the TF1-semantics RMSProp update —
+all without leaving the device. Data-parallel scale-out wraps this same
+function in ``shard_map`` with ``axis_name`` set, adding one grad ``pmean``
+over the mesh (see parallel/train.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from deeprl_network_tpu.config import ModelConfig, TrainConfig
+from deeprl_network_tpu.envs.wrappers import AutoResetEnv
+from deeprl_network_tpu.models.a2c import (
+    Rollout, a2c_loss, normalize_rewards, nstep_returns, spatial_mix,
+)
+from deeprl_network_tpu.models.layers import tf1_rmsprop
+from deeprl_network_tpu.models.policies import (
+    AGENT_TO_COMM, Carry, PolicyParams, PolicySpec, consensus_update,
+    init_carry, init_fingerprint, init_policy_params,
+)
+from deeprl_network_tpu.utils.scheduler import make_schedule
+
+
+@struct.dataclass
+class TrainState:
+    params: PolicyParams
+    opt_state: Any
+    env_state: Any            # AutoResetState, batched [B]
+    obs: jax.Array            # [B, N, n_s_max]
+    fp: jax.Array             # [B, N, n_a_max]
+    carry: Carry              # [B, N, n_lstm] x2
+    prev_done: jax.Array      # [B]
+    key: jax.Array
+    step: jax.Array           # global env-step counter (int64-ish int32)
+    # episode-return bookkeeping (global reward = sum over agents)
+    ep_ret: jax.Array         # [B] running episode return
+    ep_len: jax.Array         # [B]
+    last_ep_ret: jax.Array    # [B] most recent completed episode return
+    last_ep_len: jax.Array    # [B]
+
+
+def make_policy_spec(env_spec, mcfg: ModelConfig, agent: str) -> PolicySpec:
+    return PolicySpec(
+        n_agent=env_spec.n_agent,
+        n_s_max=env_spec.n_s_max,
+        n_a_max=env_spec.n_a_max,
+        n_fc=mcfg.num_fc,
+        n_lstm=mcfg.num_lstm,
+        comm_type=AGENT_TO_COMM[agent],
+        n_msg=mcfg.num_fc,
+        neighbor_mask=env_spec.neighbor_mask,
+        action_mask=env_spec.action_mask,
+    )
+
+
+class A2CFns(NamedTuple):
+    init_state: Callable[..., TrainState]
+    train_step: Callable[[TrainState], Tuple[TrainState, Dict[str, jax.Array]]]
+    eval_episode: Callable[..., Dict[str, jax.Array]]
+    spec: PolicySpec
+    optimizer: optax.GradientTransformation
+
+
+def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
+             num_envs: Optional[int] = None, axis_name: Optional[str] = None,
+             jit: bool = True) -> A2CFns:
+    """Build the fused A2C functions for one env family + algorithm.
+
+    ``axis_name``: if set, gradients/metrics are pmean'd over that mesh
+    axis (the function must then be called inside shard_map/pmap).
+    """
+    wenv = AutoResetEnv(env)
+    spec = make_policy_spec(env.spec, mcfg, agent)
+    n_env = num_envs or mcfg.num_envs
+    T = mcfg.n_step
+    consensus = agent == "ia2c_cu"
+    D = env.spec.spatial_discount()
+    gamma = mcfg.gamma
+    # one optimizer update consumes T steps x B envs (x replicas)
+    steps_per_update = T * n_env
+    lr_env_sched = make_schedule(mcfg.lr_decay, mcfg.lr_init,
+                                 tcfg.total_step, mcfg.lr_min)
+    ent_sched = make_schedule(mcfg.entropy_decay, mcfg.entropy_coef,
+                              tcfg.total_step, ratio=mcfg.entropy_ratio)
+    optimizer = tf1_rmsprop(
+        lambda count: lr_env_sched(count * steps_per_update),
+        decay=mcfg.rmsp_alpha, eps=mcfg.rmsp_epsilon,
+        max_grad_norm=mcfg.max_grad_norm)
+
+    def pstep(params, carry, obs, fp, done):
+        from deeprl_network_tpu.models.policies import policy_step
+        return policy_step(spec, params, carry, obs, fp, done)
+
+    vpstep = jax.vmap(pstep, in_axes=(None, 0, 0, 0, 0))
+
+    def init_state(key: jax.Array, params: Optional[PolicyParams] = None
+                   ) -> TrainState:
+        k_param, k_env, k_run = jax.random.split(key, 3)
+        if params is None:
+            params = init_policy_params(k_param, spec)
+        opt_state = optimizer.init(params)
+        env_state, obs = jax.vmap(wenv.reset)(
+            jax.random.split(k_env, n_env))
+        carry = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_env,) + x.shape),
+            init_carry(spec))
+        fp = jnp.broadcast_to(init_fingerprint(spec),
+                              (n_env, spec.n_agent, spec.n_a_max))
+        z = jnp.zeros((n_env,), jnp.float32)
+        return TrainState(
+            params=params, opt_state=opt_state, env_state=env_state,
+            obs=obs, fp=fp, carry=carry,
+            prev_done=jnp.ones((n_env,), jnp.float32),
+            key=k_run, step=jnp.zeros((), jnp.int32),
+            ep_ret=z, ep_len=z, last_ep_ret=z, last_ep_len=z)
+
+    uniform_fp = init_fingerprint(spec)
+
+    def rollout_body(carry_in, _):
+        (params, env_state, obs, fp, lcarry, prev_done, key,
+         ep_ret, ep_len, last_ret, last_len) = carry_in
+        key, k_act = jax.random.split(key)
+        lcarry2, logits, values = vpstep(params, lcarry, obs, fp, prev_done)
+        actions = jax.random.categorical(k_act, logits)        # [B, N]
+        new_fp = jax.nn.softmax(logits, axis=-1)
+        env_state2, obs2, reward, done, info = jax.vmap(wenv.step)(
+            env_state, actions)
+        done_f = done.astype(jnp.float32)
+        # fingerprints reset to uniform on episode start
+        new_fp = jnp.where(done_f[:, None, None], uniform_fp[None], new_fp)
+        g_reward = reward.sum(-1)                               # [B]
+        ep_ret2 = ep_ret + g_reward
+        ep_len2 = ep_len + 1.0
+        last_ret = jnp.where(done_f > 0, ep_ret2, last_ret)
+        last_len = jnp.where(done_f > 0, ep_len2, last_len)
+        ep_ret2 = ep_ret2 * (1.0 - done_f)
+        ep_len2 = ep_len2 * (1.0 - done_f)
+        out = (obs, fp, prev_done, actions, reward, values, done_f, info)
+        return ((params, env_state2, obs2, new_fp, lcarry2, done_f, key,
+                 ep_ret2, ep_len2, last_ret, last_len), out)
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        init_lcarry = ts.carry
+        carry0 = (ts.params, ts.env_state, ts.obs, ts.fp, ts.carry,
+                  ts.prev_done, ts.key, ts.ep_ret, ts.ep_len,
+                  ts.last_ep_ret, ts.last_ep_len)
+        carry1, outs = jax.lax.scan(rollout_body, carry0, None, length=T)
+        (_, env_state, obs_f, fp_f, lcarry_f, done_f, key,
+         ep_ret, ep_len, last_ret, last_len) = carry1
+        (obs_seq, fp_seq, pdone_seq, act_seq, rew_seq, val_seq, done_seq,
+         info_seq) = outs
+        # time-major [T, B, ...] -> env-major [B, T, ...]
+        to_b = lambda x: jnp.swapaxes(x, 0, 1)
+
+        # bootstrap values V(s_T)
+        _, _, v_boot = vpstep(ts.params, lcarry_f, obs_f, fp_f, done_f)
+
+        # reward pipeline: normalize -> spatial mix -> n-step returns
+        r = normalize_rewards(rew_seq, mcfg.reward_norm, mcfg.reward_clip)
+        r = spatial_mix(r, jnp.asarray(D))
+        returns = jax.vmap(nstep_returns, in_axes=(1, 1, 0, None),
+                           out_axes=1)(r, done_seq, v_boot, gamma)
+        advs = returns - val_seq
+
+        beta = ent_sched(ts.step)
+
+        def batched_loss(params):
+            # a2c_loss only reads obs/fps/prev_dones/actions from Rollout;
+            # rewards/values/dones slots are filled with placeholders.
+            losses, stats = jax.vmap(
+                lambda c, o, f, p, a, R, A: a2c_loss(
+                    spec, params, c,
+                    Rollout(obs=o, fps=f, prev_dones=p, actions=a,
+                            rewards=R, values=R, dones=p),
+                    R, A, beta, mcfg.value_coef)
+            )(init_lcarry, to_b(obs_seq), to_b(fp_seq), to_b(pdone_seq),
+              to_b(act_seq), to_b(returns), to_b(advs))
+            return jnp.mean(losses), jax.tree.map(jnp.mean, stats)
+
+        (loss, stats), grads = jax.value_and_grad(batched_loss,
+                                                  has_aux=True)(ts.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        if consensus:
+            params = consensus_update(params, env.spec.neighbor_mask)
+
+        n_rep = 1
+        if axis_name is not None:
+            n_rep = jax.lax.psum(1, axis_name)
+        new_ts = TrainState(
+            params=params, opt_state=opt_state, env_state=env_state,
+            obs=obs_f, fp=fp_f, carry=lcarry_f, prev_done=done_f, key=key,
+            step=ts.step + steps_per_update * n_rep,
+            ep_ret=ep_ret, ep_len=ep_len,
+            last_ep_ret=last_ret, last_ep_len=last_len)
+        metrics = {
+            "loss": loss,
+            "policy_loss": stats.policy,
+            "value_loss": stats.value,
+            "entropy": stats.entropy,
+            "grad_norm": grad_norm,
+            "step_reward": jnp.mean(rew_seq.sum(-1)),
+            "episode_return": jnp.mean(last_ret),
+            "episode_len": jnp.mean(last_len),
+            "lr": lr_env_sched(ts.step),
+            "beta": beta,
+        }
+        for k, v in info_seq.items():
+            metrics["env/" + k] = jnp.mean(v.astype(jnp.float32))
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return new_ts, metrics
+
+    def eval_episode(params: PolicyParams, key: jax.Array,
+                     max_steps: Optional[int] = None, greedy: bool = True
+                     ) -> Dict[str, jax.Array]:
+        """One evaluation episode on a single env instance (reference
+        Trainer.perform / Evaluator.run)."""
+        horizon = max_steps or _default_horizon(env)
+        k_env, k_run = jax.random.split(key)
+        state, obs = env.reset(k_env)
+        carry = init_carry(spec)
+        fp = init_fingerprint(spec)
+
+        def body(c, _):
+            state, obs, fp, carry, done_prev, key, ep_ret, alive = c
+            key, k_act = jax.random.split(key)
+            carry, logits, _ = pstep(params, carry, obs, fp, done_prev)
+            if greedy:
+                action = jnp.argmax(logits, -1)
+            else:
+                action = jax.random.categorical(k_act, logits)
+            new_fp = jax.nn.softmax(logits, -1)
+            state2, obs2, reward, done, info = env.step(state, action)
+            ep_ret = ep_ret + reward.sum() * alive
+            alive2 = alive * (1.0 - done.astype(jnp.float32))
+            return ((state2, obs2, new_fp, carry, jnp.zeros(()), key,
+                     ep_ret, alive2),
+                    {"reward": reward.sum() * alive, **{
+                        k: v * alive for k, v in info.items()}})
+
+        c0 = (state, obs, fp, carry, jnp.zeros(()), k_run,
+              jnp.zeros(()), jnp.ones(()))
+        cf, seq = jax.lax.scan(body, c0, None, length=horizon)
+        ep_ret = cf[6]
+        out = {"episode_return": ep_ret,
+               "avg_step_reward": ep_ret / horizon}
+        for k, v in seq.items():
+            if k != "reward":
+                out["env/" + k] = jnp.mean(v)
+        return out
+
+    if jit:
+        train_step = jax.jit(train_step, donate_argnums=0)
+        eval_episode = jax.jit(eval_episode, static_argnums=(2, 3))
+    return A2CFns(init_state=init_state, train_step=train_step,
+                  eval_episode=eval_episode, spec=spec, optimizer=optimizer)
+
+
+def _default_horizon(env) -> int:
+    cfg = getattr(env, "cfg", None)
+    if cfg is not None:
+        if cfg.scenario.startswith("cacc"):
+            return int(cfg.episode_length)
+        return int(cfg.episode_steps_atsc)
+    return 600

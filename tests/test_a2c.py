@@ -1,0 +1,186 @@
+"""Returns/advantage and comm-policy unit tests (SURVEY.md Appendix C
+tests 2 and 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprl_network_tpu.envs.base import EnvSpec, hop_distances
+from deeprl_network_tpu.models.a2c import (
+    nstep_returns, normalize_rewards, spatial_mix,
+)
+from deeprl_network_tpu.models.policies import (
+    Carry, CommType, PolicySpec, consensus_matrix, consensus_update,
+    init_carry, init_fingerprint, init_policy_params, policy_step,
+)
+
+
+def test_nstep_returns_hand_computed():
+    """3-step episode with a mid-batch done (Appendix C test 2)."""
+    gamma = 0.9
+    r = jnp.asarray([[1.0], [2.0], [3.0]])          # [T=3, N=1]
+    dones = jnp.asarray([0.0, 1.0, 0.0])
+    boot = jnp.asarray([10.0])
+    R = np.array(nstep_returns(r, dones, boot, gamma))
+    # R_2 = 3 + .9*10 = 12; R_1 = 2 (done cuts); R_0 = 1 + .9*2 = 2.8
+    np.testing.assert_allclose(R[:, 0], [2.8, 2.0, 12.0], rtol=1e-6)
+
+
+def test_returns_done_at_end_ignores_bootstrap():
+    R = np.array(nstep_returns(jnp.asarray([[1.0]]), jnp.asarray([1.0]),
+                               jnp.asarray([99.0]), 0.99))
+    np.testing.assert_allclose(R, [[1.0]])
+
+
+def test_normalize_and_clip():
+    r = jnp.asarray([4000.0, -10000.0])
+    out = np.array(normalize_rewards(r, 2000.0, 2.0))
+    np.testing.assert_allclose(out, [2.0, -2.0])
+
+
+def test_spatial_mix_line_graph():
+    """3-agent line graph, alpha=0.5 (Appendix A spatial discounting)."""
+    adj = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], np.float32)
+    spec = EnvSpec(3, (1, 1, 1), (2, 2, 2), adj, hop_distances(adj), 0.5)
+    D = spec.spatial_discount()
+    np.testing.assert_allclose(
+        D, [[1, .5, .25], [.5, 1, .5], [.25, .5, 1]])
+    r = jnp.asarray([1.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.array(spatial_mix(r, jnp.asarray(D))),
+                               [1.0, 0.5, 0.25])
+
+
+def test_spatial_mix_global_when_negative():
+    adj = np.array([[0, 1], [1, 0]], np.float32)
+    spec = EnvSpec(2, (1, 1), (2, 2), adj, hop_distances(adj), -1.0)
+    D = spec.spatial_discount()
+    np.testing.assert_allclose(D, np.ones((2, 2)))
+
+
+def _mk_spec(comm, n=3):
+    adj = np.zeros((n, n), np.float32)
+    for i in range(n - 1):
+        adj[i, i + 1] = adj[i + 1, i] = 1
+    return PolicySpec(n_agent=n, n_s_max=4, n_a_max=3, n_fc=8, n_lstm=8,
+                      comm_type=comm, n_msg=8, neighbor_mask=adj,
+                      action_mask=np.ones((n, 3), np.float32))
+
+
+@pytest.mark.parametrize("comm", list(CommType))
+def test_policy_step_shapes(comm):
+    spec = _mk_spec(comm)
+    params = init_policy_params(jax.random.key(0), spec)
+    carry = init_carry(spec)
+    obs = jnp.ones((3, 4))
+    fp = init_fingerprint(spec)
+    carry2, logits, value = policy_step(spec, params, carry, obs, fp,
+                                        jnp.zeros(()))
+    assert logits.shape == (3, 3)
+    assert value.shape == (3,)
+    assert np.isfinite(np.array(logits)).all()
+
+
+def test_neurcomm_message_routing():
+    """Line graph 0-1-2: agent 0's embedding must react to agent 1's
+    hidden state but NOT to agent 2's (Appendix C test 3)."""
+    spec = _mk_spec(CommType.NEURCOMM)
+    params = init_policy_params(jax.random.key(0), spec)
+    obs = jnp.zeros((3, 4))
+    fp = init_fingerprint(spec)
+    base = init_carry(spec)
+
+    def logits0(h_perturb):
+        carry = Carry(base.c, base.h + h_perturb)
+        _, logits, _ = policy_step(spec, params, carry, obs, fp,
+                                   jnp.zeros(()))
+        return logits
+
+    l_base = logits0(jnp.zeros((3, 8)))
+    bump1 = jnp.zeros((3, 8)).at[1].set(1.0)
+    bump2 = jnp.zeros((3, 8)).at[2].set(1.0)
+    l1 = logits0(bump1)
+    l2 = logits0(bump2)
+    assert not np.allclose(np.array(l1[0]), np.array(l_base[0]))
+    np.testing.assert_allclose(np.array(l2[0]), np.array(l_base[0]),
+                               atol=1e-6)
+    # 1 is a neighbor of both 0 and 2
+    assert not np.allclose(np.array(l1[2]), np.array(l_base[2]))
+
+
+def test_neurcomm_gradient_flows_through_neighbors():
+    """Differentiable comm: d(logit_0)/d(h_1) nonzero for NEURCOMM, zero
+    for NONE (reference NCMultiAgentPolicy: gradients flow through
+    neighbor messages)."""
+    for comm, expect_flow in ((CommType.NEURCOMM, True),
+                              (CommType.NONE, False)):
+        spec = _mk_spec(comm)
+        params = init_policy_params(jax.random.key(0), spec)
+        obs = jnp.ones((3, 4))
+        fp = init_fingerprint(spec)
+
+        def f(h):
+            carry = Carry(jnp.zeros((3, 8)), h)
+            _, logits, _ = policy_step(spec, params, carry, obs, fp,
+                                       jnp.zeros(()))
+            return logits[0].sum()
+
+        g = np.array(jax.grad(f)(jnp.ones((3, 8)) * 0.1))
+        if expect_flow:
+            assert np.abs(g[1]).sum() > 1e-6
+        else:
+            np.testing.assert_allclose(g[1], 0.0, atol=1e-8)
+        # agent 2 is never a neighbor of agent 0 on the line graph: the
+        # only grad path to h_2 would be a direct message 2->0
+        np.testing.assert_allclose(g[2], 0.0, atol=1e-8)
+
+
+def test_fp_no_gradient_through_fingerprints():
+    spec = _mk_spec(CommType.FP)
+    params = init_policy_params(jax.random.key(0), spec)
+    obs = jnp.ones((3, 4))
+
+    def f(fp):
+        carry = init_carry(spec)
+        _, logits, _ = policy_step(spec, params, carry, obs, fp,
+                                   jnp.zeros(()))
+        return logits.sum()
+
+    g = np.array(jax.grad(f)(init_fingerprint(spec)))
+    np.testing.assert_allclose(g, 0.0, atol=1e-8)
+
+
+def test_commnet_uses_mean_neighbor_state():
+    spec = _mk_spec(CommType.COMMNET)
+    params = init_policy_params(jax.random.key(0), spec)
+    # shared map: w_msg is [n_lstm, n_fc]
+    assert params.w_msg.shape == (8, 8)
+
+
+def test_consensus_matrix_and_update():
+    adj = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], np.float32)
+    C = consensus_matrix(adj)
+    np.testing.assert_allclose(C.sum(1), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(C[0], [0.5, 0.5, 0.0])
+    spec = _mk_spec(CommType.NONE)
+    params = init_policy_params(jax.random.key(0), spec)
+    new = consensus_update(params, adj)
+    expected = np.einsum("ij,jkl->ikl", C, np.array(params.w_obs.w))
+    np.testing.assert_allclose(np.array(new.w_obs.w), expected, rtol=1e-5)
+
+
+def test_action_mask_blocks_padded_actions():
+    n = 2
+    adj = np.array([[0, 1], [1, 0]], np.float32)
+    amask = np.array([[1, 1, 1], [1, 1, 0]], np.float32)  # agent 1: n_a=2
+    spec = PolicySpec(n_agent=n, n_s_max=4, n_a_max=3, n_fc=8, n_lstm=8,
+                      comm_type=CommType.NONE, neighbor_mask=adj,
+                      action_mask=amask)
+    params = init_policy_params(jax.random.key(0), spec)
+    _, logits, _ = policy_step(spec, params, init_carry(spec),
+                               jnp.ones((2, 4)), init_fingerprint(spec),
+                               jnp.zeros(()))
+    probs = np.array(jax.nn.softmax(logits, -1))
+    assert probs[1, 2] < 1e-6
+    fp = np.array(init_fingerprint(spec))
+    np.testing.assert_allclose(fp[1], [0.5, 0.5, 0.0])
