@@ -1,0 +1,114 @@
+"""Benchmark: training throughput (env-steps/s/chip) on the flagship
+config — MA2C_NC (NeurComm) on the 25-agent 5x5 grid ATSC env.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY.md section 6;
+BASELINE.json "published": {}), so vs_baseline compares against a measured
+reference-style baseline: the same policy forward + env dynamics executed
+the way the reference executes them — a host python loop, one env, one
+step at a time, numpy math (stand-in for the TF1 sess.run + TraCI chatter
+hot loop, which is strictly slower since SUMO adds TCP roundtrips).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_tpu(seconds_budget: float = 20.0):
+    import jax
+
+    from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
+    from deeprl_network_tpu.envs.grid import LargeGridEnv
+    from deeprl_network_tpu.utils.rollout import make_a2c
+
+    ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
+    mcfg = ModelConfig(batch_size=120, num_envs=192)
+    tcfg = TrainConfig(total_step=1_000_000)
+    env = LargeGridEnv(ecfg)
+    fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
+    ts = fns.init_state(jax.random.key(0))
+    # compile + warmup
+    ts, m = fns.train_step(ts)
+    jax.block_until_ready(m["loss"])
+    n_updates = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds_budget:
+        ts, m = fns.train_step(ts)
+        n_updates += 1
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    env_steps = n_updates * mcfg.batch_size * mcfg.num_envs
+    return env_steps / dt, float(m["loss"])
+
+
+def measure_baseline(n_steps: int = 300):
+    """Reference-style host loop: single env, per-step numpy policy
+    forward (25 agents x (fc 12->64, LSTM 64, heads)) + env dynamics."""
+    from deeprl_network_tpu.config import EnvConfig
+    from deeprl_network_tpu.envs.grid import build_grid_topology
+
+    cfg = EnvConfig(scenario="large_grid")
+    topo = build_grid_topology(cfg)
+    L = topo.n_lane
+    rng = np.random.RandomState(0)
+    N, S, H, A = 25, 12, 64, 5
+    w_in = rng.randn(N, S, H).astype(np.float32) * 0.1
+    wx = rng.randn(N, H, 4 * H).astype(np.float32) * 0.1
+    wh = rng.randn(N, H, 4 * H).astype(np.float32) * 0.1
+    wa = rng.randn(N, H, A).astype(np.float32) * 0.1
+    c = np.zeros((N, H), np.float32)
+    h = np.zeros((N, H), np.float32)
+    queue = np.zeros(L, np.float32)
+    wait = np.zeros(L, np.float32)
+    obs = np.zeros((N, S), np.float32)
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    gather = np.stack([np.array(ls) for ls in topo.node_lanes])
+    t0 = time.perf_counter()
+    for t in range(n_steps):
+        # policy forward, agent-by-agent like the reference graph feeds
+        e = np.maximum(np.einsum("ns,nsh->nh", obs, w_in), 0.0)
+        z = (np.einsum("nh,nhk->nk", e, wx)
+             + np.einsum("nh,nhk->nk", h, wh))
+        i, f, o, u = np.split(z, 4, axis=-1)
+        c = sig(f) * c + sig(i) * np.tanh(u)
+        h = sig(o) * np.tanh(c)
+        logits = np.einsum("nh,nha->na", h, wa)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        actions = np.array([rng.choice(A, p=p[n]) for n in range(N)])
+        # env dynamics: 5 x 1s substeps
+        gate = topo.phase_gate[np.arange(N), actions].max(0)
+        demand = topo.demand[min(t, len(topo.demand) - 1)]
+        for k in range(cfg.control_interval_sec):
+            dq = np.minimum(queue, gate * cfg.sat_flow)
+            queue = np.minimum(queue + topo.route.T @ dq + demand - dq,
+                               cfg.lane_capacity)
+            wait = (wait + 1.0) * (queue > 0.1) * (dq <= 1e-4)
+        obs = np.clip(queue[gather] / cfg.norm_wave, 0, cfg.clip_wave)
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    baseline_sps = measure_baseline()
+    print(f"baseline (reference-style host loop): {baseline_sps:.1f} "
+          f"env-steps/s", file=sys.stderr)
+    sps, loss = measure_tpu()
+    print(f"fused TPU train step: {sps:.1f} env-steps/s/chip "
+          f"(loss {loss:.3f})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "env_steps_per_s_per_chip_grid25_ma2c_nc",
+        "value": round(sps, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(sps / baseline_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

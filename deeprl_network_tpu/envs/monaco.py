@@ -1,0 +1,186 @@
+"""Monaco-scale irregular ATSC scenario (reference envs/real_net_env.py +
+envs/real_net_data/; SURVEY.md section 2.2 item 8).
+
+The reference drives an OSM-derived Monaco subnet (~28 signalized nodes,
+heterogeneous 2-6 phase action spaces, hand-written neighbor_map) through
+SUMO. The OSM data is unavailable (empty reference mount) and SUMO is gone
+by design, so this module ships a *fixed, deterministic* irregular network
+with the same task structure: 28 signalized nodes on an irregular planar
+graph (mixed degree 2-4), per-node heterogeneous action counts (2-6
+phases), heterogeneous observation sizes, boundary demand with the
+peak_flow1/peak_flow2 profiles, all running on the generic
+store-and-forward engine (envs/network.py).
+
+Lane model for irregular graphs: an approach is an (in-neighbor -> node)
+link, including virtual EXT approaches at boundary entry nodes; each
+approach owns one movement queue per out-neighbor (no U-turns), plus an
+exit movement at boundary nodes. Phases gate whole approaches: each node's
+phase list is the singles (one approach green) plus, for 4-approach
+nodes, combined opposite-pair phases — giving n_a from 2 to 6.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from deeprl_network_tpu.config import EnvConfig
+from deeprl_network_tpu.envs.network import NetworkTopology, TrafficNetworkEnv
+
+# 28 nodes with fixed planar coordinates (irregular, Monaco-like coastal
+# strip shape) and hand-written undirected edges. Deterministic data — the
+# "real_net_data" of this rebuild.
+NODE_XY = np.array([
+    (0.0, 0.0), (1.0, 0.2), (2.0, 0.0), (3.0, 0.3), (4.0, 0.1),
+    (5.0, 0.4), (6.0, 0.2), (0.4, 1.0), (1.5, 1.1), (2.5, 0.9),
+    (3.5, 1.2), (4.5, 1.0), (5.5, 1.1), (6.3, 1.0), (0.8, 2.0),
+    (1.8, 2.1), (2.8, 1.9), (3.8, 2.2), (4.8, 2.0), (5.8, 2.1),
+    (1.2, 3.0), (2.2, 3.1), (3.2, 2.9), (4.2, 3.2), (5.2, 3.0),
+    (2.6, 4.0), (3.6, 4.1), (4.6, 3.9),
+])
+
+EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+    (0, 7), (1, 8), (2, 9), (3, 10), (4, 11), (5, 12), (6, 13),
+    (7, 8), (8, 9), (9, 10), (10, 11), (11, 12), (12, 13),
+    (7, 14), (9, 16), (10, 17), (12, 19),
+    (14, 15), (15, 16), (16, 17), (17, 18), (18, 19),
+    (14, 20), (16, 22), (18, 24),
+    (20, 21), (21, 22), (22, 23), (23, 24),
+    (21, 25), (23, 26), (24, 27), (25, 26), (26, 27),
+]
+
+# boundary nodes with external demand/exit connections
+ENTRY_NODES = [0, 6, 13, 20, 25, 27, 2, 4]
+
+EXT = -1  # virtual exterior neighbor id
+
+
+def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
+    M = len(NODE_XY)
+    nbrs: List[List[int]] = [[] for _ in range(M)]
+    for a, b in EDGES:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    for i in range(M):
+        nbrs[i] = sorted(nbrs[i])
+
+    node_adj = np.zeros((M, M), np.float32)
+    for a, b in EDGES:
+        node_adj[a, b] = node_adj[b, a] = 1.0
+
+    # approaches: (node, from) where from in nbrs[node] (+ EXT at entries)
+    # movements: (node, from, to) with to in nbrs[node]+[EXT at entries],
+    # to != from
+    lane_id: Dict[Tuple[int, int, int], int] = {}
+    lanes: List[Tuple[int, int, int]] = []
+    approaches: List[List[int]] = [[] for _ in range(M)]  # list of 'from'
+    for n in range(M):
+        froms = list(nbrs[n]) + ([EXT] if n in ENTRY_NODES else [])
+        approaches[n] = froms
+        for f in froms:
+            tos = [t for t in nbrs[n] if t != f]
+            if n in ENTRY_NODES and f != EXT:
+                tos.append(EXT)  # exit movement at boundary nodes
+            for t in tos:
+                lane_id[(n, f, t)] = len(lanes)
+                lanes.append((n, f, t))
+    L = len(lanes)
+
+    # routing: movement (n, f, t) with t != EXT discharges into node t,
+    # arriving from n, splitting uniformly over t's movements from n.
+    route = np.zeros((L, L), np.float32)
+    for li, (n, f, t) in enumerate(lanes):
+        if t == EXT:
+            continue
+        dests = [(t, n, t2) for t2 in
+                 ([x for x in nbrs[t] if x != n]
+                  + ([EXT] if t in ENTRY_NODES else []))]
+        dests = [d for d in dests if d in lane_id]
+        if not dests:
+            continue
+        w = 1.0 / len(dests)
+        for d in dests:
+            route[li, lane_id[d]] = w
+
+    # phases: per node, singles (one approach all-green) plus, for
+    # 4-approach nodes, two combined phases pairing far-apart approaches.
+    phase_sets: List[List[List[int]]] = []  # per node: list of approach-lists
+    for n in range(M):
+        fr = approaches[n]
+        singles = [[f] for f in fr]
+        phases = list(singles)
+        if len(fr) >= 4:
+            # pair approaches by opposing geometry: (0,2) and (1,3) of the
+            # sorted list — crude but fixed
+            phases.append([fr[0], fr[2]])
+            if len(fr) >= 4:
+                phases.append([fr[1], fr[3]])
+        phase_sets.append(phases[:6])  # cap at 6 actions
+
+    P_max = max(len(p) for p in phase_sets)
+    phase_gate = np.zeros((M, P_max, L), np.float32)
+    phase_valid = np.zeros((M, P_max), np.float32)
+    for n in range(M):
+        for p, fr_list in enumerate(phase_sets[n]):
+            phase_valid[n, p] = 1.0
+            for li, (nn, f, t) in enumerate(lanes):
+                if nn == n and f in fr_list:
+                    phase_gate[n, p, li] = 1.0
+
+    entry = np.zeros((L,), np.float32)
+    entry_ids = []
+    for li, (n, f, t) in enumerate(lanes):
+        if f == EXT:
+            entry[li] = 1.0
+            entry_ids.append(li)
+
+    demand = build_monaco_demand(cfg, lanes, entry_ids)
+
+    node_lanes = [[li for li, (n, f, t) in enumerate(lanes) if n == m]
+                  for m in range(M)]
+    return NetworkTopology(
+        n_node=M,
+        lane_node=np.array([n for (n, _, _) in lanes], np.int32),
+        phase_gate=phase_gate, phase_valid=phase_valid, route=route,
+        entry_lane=entry, demand=demand, node_adj=node_adj,
+        node_lanes=node_lanes)
+
+
+def build_monaco_demand(cfg: EnvConfig, lanes, entry_ids) -> np.ndarray:
+    """Two time-shifted trapezoidal flow groups over the entry lanes,
+    alternating by entry index (reference real_net_data flow sampling)."""
+    T = cfg.episode_steps_atsc
+    L = len(lanes)
+    tau = np.arange(T) / max(T - 1, 1)
+
+    def trap(t0, t1, t2, t3):
+        return np.where(
+            tau < t0, 0.0,
+            np.where(tau < t1, (tau - t0) / max(t1 - t0, 1e-6),
+                     np.where(tau < t2, 1.0,
+                              np.where(tau < t3,
+                                       1.0 - (tau - t2) / max(t3 - t2, 1e-6),
+                                       0.0))))
+
+    g1 = trap(0.0, 0.2, 0.5, 0.7) * cfg.peak_flow1 / 3600.0
+    g2 = trap(0.25, 0.45, 0.75, 0.95) * cfg.peak_flow2 / 3600.0
+    demand = np.zeros((T, L), np.float32)
+    # each entry approach splits its inflow over its movement lanes
+    by_approach: Dict[Tuple[int, int], List[int]] = {}
+    for li in entry_ids:
+        n, f, t = lanes[li]
+        by_approach.setdefault((n, f), []).append(li)
+    for k, ((n, f), lis) in enumerate(sorted(by_approach.items())):
+        prof = g1 if k % 2 == 0 else g2
+        for li in lis:
+            demand[:, li] = prof / len(lis) * cfg.demand_scale
+    return demand
+
+
+class RealNetEnv(TrafficNetworkEnv):
+    """28-agent Monaco-scale irregular network (reference RealNetEnv)."""
+
+    def __init__(self, cfg: EnvConfig):
+        super().__init__(cfg, build_monaco_topology(cfg))

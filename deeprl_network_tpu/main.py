@@ -1,0 +1,110 @@
+"""CLI / experiment driver (reference main.py; SURVEY.md section 2.2
+item 1): ``train`` and ``evaluate`` subcommands over .ini config files.
+
+    python -m deeprl_network_tpu.main train \
+        --config-dir configs/config_ma2c_nc_grid.ini --base-dir /tmp/run
+    python -m deeprl_network_tpu.main evaluate \
+        --base-dir /tmp/run --evaluation-seeds 2000,2500,3000
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+
+import jax
+
+from deeprl_network_tpu.config import Config, load_config, save_config
+from deeprl_network_tpu.envs.base import Env
+from deeprl_network_tpu.utils.logging import init_dir, init_log
+from deeprl_network_tpu.utils.rollout import make_a2c
+from deeprl_network_tpu.utils.trainer import Evaluator, Trainer
+
+log = logging.getLogger(__name__)
+
+
+def init_env(config: Config, naive_policy: bool = False) -> Env:
+    """Dispatch on scenario (reference main.py init_env ~L40)."""
+    scenario = config.env.scenario
+    if scenario.startswith("cacc"):
+        from deeprl_network_tpu.envs.cacc import CACCEnv
+        return CACCEnv(config.env)
+    if scenario in ("large_grid", "grid"):
+        from deeprl_network_tpu.envs.grid import LargeGridEnv
+        return LargeGridEnv(config.env)
+    if scenario in ("real_net", "monaco"):
+        from deeprl_network_tpu.envs.monaco import RealNetEnv
+        return RealNetEnv(config.env)
+    raise ValueError(f"unknown scenario {scenario}")
+
+
+def init_agent(env: Env, config: Config, num_envs=None, axis_name=None):
+    """Build the fused A2C functions (reference main.py init_agent ~L60)."""
+    return make_a2c(env, config.model, config.train, agent=config.agent,
+                    num_envs=num_envs, axis_name=axis_name)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base-dir", required=True, help="experiment dir")
+    sub = p.add_subparsers(dest="option", required=True)
+    t = sub.add_parser("train")
+    t.add_argument("--config-dir", required=True, help=".ini config path")
+    t.add_argument("--restore", action="store_true")
+    t.add_argument("--test-mode", default="no_test",
+                   choices=["no_test", "in_train_test"])
+    e = sub.add_parser("evaluate")
+    e.add_argument("--config-dir", default=None,
+                   help="defaults to the snapshot in base-dir/data")
+    e.add_argument("--evaluation-seeds", default="2000,2500,3000")
+    e.add_argument("--demo", action="store_true")
+    return p.parse_args(argv)
+
+
+def train(args) -> None:
+    dirs = init_dir(args.base_dir)
+    init_log(dirs["log"])
+    config = load_config(args.config_dir)
+    save_config(config, os.path.join(dirs["data"],
+                                     os.path.basename(args.config_dir)))
+    env = init_env(config)
+    fns = init_agent(env, config)
+    log.info("agent=%s scenario=%s n_agent=%d devices=%s",
+             config.agent, config.scenario, env.n_agent, jax.devices())
+    trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed)
+    trainer.run(restore=args.restore)
+
+
+def evaluate(args) -> None:
+    init_log(None)
+    cfg_path = args.config_dir
+    if cfg_path is None:
+        cands = glob.glob(os.path.join(args.base_dir, "data", "*.ini"))
+        if not cands:
+            raise FileNotFoundError("no config snapshot in base-dir/data")
+        cfg_path = cands[0]
+    config = load_config(cfg_path)
+    env = init_env(config)
+    fns = init_agent(env, config)
+    trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed)
+    ts = fns.init_state(jax.random.key(config.env.seed))
+    restored = trainer.ckpt.restore(ts)
+    if restored is None:
+        raise FileNotFoundError("no checkpoint found under base-dir/model")
+    seeds = [int(s) for s in args.evaluation_seeds.split(",")]
+    out_dir = os.path.join(args.base_dir, "eva_data")
+    Evaluator(fns, out_dir, seeds=seeds, demo=args.demo).run(restored.params)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.option == "train":
+        train(args)
+    else:
+        evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

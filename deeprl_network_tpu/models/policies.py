@@ -117,8 +117,9 @@ class Carry(NamedTuple):
 
 
 def init_carry(spec: PolicySpec, dtype=jnp.float32) -> Carry:
-    z = jnp.zeros((spec.n_agent, spec.n_lstm), dtype)
-    return Carry(z, z)
+    # distinct buffers: aliased leaves break XLA buffer donation
+    return Carry(jnp.zeros((spec.n_agent, spec.n_lstm), dtype),
+                 jnp.zeros((spec.n_agent, spec.n_lstm), dtype))
 
 
 def init_fingerprint(spec: PolicySpec, dtype=jnp.float32) -> jax.Array:

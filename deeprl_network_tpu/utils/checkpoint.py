@@ -1,0 +1,39 @@
+"""Checkpoint/resume via orbax (SURVEY.md section 5 item 4).
+
+Strictly stronger than the reference's tf.train.Saver (agents/models.py
+save/load, keep ~5 checkpoints): the FULL TrainState — params, optimizer
+state, batched env state, LSTM carries, fingerprints, PRNG key, step —
+round-trips, so resume continues mid-episode exactly (the reference
+dropped carried LSTM state and buffers on restore)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, model_dir: str, max_to_keep: int = 5):
+        self.path = os.path.abspath(model_dir)
+        os.makedirs(self.path, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.path,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True))
+
+    def save(self, step: int, train_state: Any) -> None:
+        self.mngr.save(step, args=ocp.args.StandardSave(train_state))
+        self.mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def restore(self, train_state_like: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None
+        return self.mngr.restore(
+            step, args=ocp.args.StandardRestore(train_state_like))

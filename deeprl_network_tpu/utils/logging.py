@@ -1,0 +1,59 @@
+"""Run-dir layout, python logging, and csv/jsonl metric output.
+
+Mirrors the reference's experiment-record conventions (utils.py helpers
+``init_dir/init_log/check_dir/copy_file`` and the train_reward.csv /
+TF-summary outputs; SURVEY.md section 2.2 item 2 and section 5 item 5),
+with jsonl metrics replacing TF1 summaries.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+
+def init_dir(base_dir: str, pathes=("data", "log", "model")) -> Dict[str, str]:
+    dirs = {}
+    for p in pathes:
+        d = os.path.join(base_dir, p)
+        os.makedirs(d, exist_ok=True)
+        dirs[p] = d
+    return dirs
+
+
+def init_log(log_dir: Optional[str] = None) -> None:
+    handlers = [logging.StreamHandler()]
+    if log_dir:
+        handlers.append(logging.FileHandler(
+            os.path.join(log_dir, f"{int(time.time())}.log")))
+    logging.basicConfig(
+        format="%(asctime)s [%(levelname)s] %(message)s",
+        level=logging.INFO, handlers=handlers, force=True)
+
+
+class MetricWriter:
+    """Appends metric rows to <dir>/<name>.csv and .jsonl."""
+
+    def __init__(self, out_dir: str, name: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.csv_path = os.path.join(out_dir, f"{name}.csv")
+        self.jsonl_path = os.path.join(out_dir, f"{name}.jsonl")
+        self._fields = None
+
+    def write(self, row: Dict[str, float]) -> None:
+        row = {k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in row.items()}
+        new = not os.path.exists(self.csv_path)
+        if self._fields is None:
+            self._fields = list(row.keys())
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
+            if new:
+                w.writeheader()
+            w.writerow(row)
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")

@@ -113,6 +113,10 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
 
     def init_state(key: jax.Array, params: Optional[PolicyParams] = None
                    ) -> TrainState:
+        # store keys in raw uint32[2] form: rank-1 leaves shard cleanly
+        # under shard_map (typed rank-0 key arrays cannot take a
+        # PartitionSpec axis)
+        key = _raw_key(key)
         k_param, k_env, k_run = jax.random.split(key, 3)
         if params is None:
             params = init_policy_params(k_param, spec)
@@ -120,17 +124,19 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         env_state, obs = jax.vmap(wenv.reset)(
             jax.random.split(k_env, n_env))
         carry = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_env,) + x.shape),
+            lambda x: jnp.zeros((n_env,) + x.shape, x.dtype),
             init_carry(spec))
-        fp = jnp.broadcast_to(init_fingerprint(spec),
-                              (n_env, spec.n_agent, spec.n_a_max))
-        z = jnp.zeros((n_env,), jnp.float32)
+        fp = jnp.tile(init_fingerprint(spec)[None],
+                      (n_env, 1, 1))
         return TrainState(
             params=params, opt_state=opt_state, env_state=env_state,
             obs=obs, fp=fp, carry=carry,
             prev_done=jnp.ones((n_env,), jnp.float32),
             key=k_run, step=jnp.zeros((), jnp.int32),
-            ep_ret=z, ep_len=z, last_ep_ret=z, last_ep_len=z)
+            ep_ret=jnp.zeros((n_env,), jnp.float32),
+            ep_len=jnp.zeros((n_env,), jnp.float32),
+            last_ep_ret=jnp.zeros((n_env,), jnp.float32),
+            last_ep_len=jnp.zeros((n_env,), jnp.float32))
 
     uniform_fp = init_fingerprint(spec)
 
@@ -276,6 +282,13 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         eval_episode = jax.jit(eval_episode, static_argnums=(2, 3))
     return A2CFns(init_state=init_state, train_step=train_step,
                   eval_episode=eval_episode, spec=spec, optimizer=optimizer)
+
+
+def _raw_key(key: jax.Array) -> jax.Array:
+    """Typed PRNG key -> raw uint32[2] (no-op if already raw)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(key)
+    return key
 
 
 def _default_horizon(env) -> int:

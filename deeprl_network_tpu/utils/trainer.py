@@ -1,0 +1,149 @@
+"""Host-side training orchestration: Counter, Trainer, Evaluator.
+
+Rebuild of the reference ``utils.py`` L4 layer (SURVEY.md section 2.2
+item 2). The reference Trainer ran the env-step loop on the host; here the
+entire n_step x B rollout + update is one device call (utils/rollout.py),
+so this layer only sequences device calls, periodic evaluation on held-out
+seeds, metric csv/jsonl output, and checkpoints.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from deeprl_network_tpu.config import Config
+from deeprl_network_tpu.utils.checkpoint import CheckpointManager
+from deeprl_network_tpu.utils.logging import MetricWriter, init_dir
+from deeprl_network_tpu.utils.rollout import A2CFns, TrainState
+
+log = logging.getLogger(__name__)
+
+
+class Counter:
+    """Global step bookkeeping (reference utils.py Counter ~L20)."""
+
+    def __init__(self, total_step: int, test_step: int, log_step: int):
+        self.total_step = total_step
+        self.test_step = test_step
+        self.log_step = log_step
+        self.cur_step = 0
+        self._next_test = test_step
+        self._next_log = log_step
+
+    def update(self, n: int) -> int:
+        self.cur_step += n
+        return self.cur_step
+
+    def should_test(self) -> bool:
+        if self.cur_step >= self._next_test:
+            self._next_test += self.test_step
+            return True
+        return False
+
+    def should_log(self) -> bool:
+        if self.cur_step >= self._next_log:
+            self._next_log += self.log_step
+            return True
+        return False
+
+    def should_stop(self) -> bool:
+        return self.cur_step >= self.total_step
+
+
+class Trainer:
+    """Sequences fused device train steps; logs and checkpoints.
+
+    reference: utils.py Trainer.run (~L170) — explore/backward collapse
+    into fns.train_step; perform() becomes fns.eval_episode.
+    """
+
+    def __init__(self, fns: A2CFns, cfg: Config, output_dir: str,
+                 seed: int = 0):
+        self.fns = fns
+        self.cfg = cfg
+        self.dirs = init_dir(output_dir)
+        self.counter = Counter(cfg.train.total_step,
+                               cfg.train.test_interval,
+                               cfg.train.log_interval)
+        self.train_writer = MetricWriter(self.dirs["data"], "train_log")
+        self.test_writer = MetricWriter(self.dirs["data"], "test_log")
+        self.ckpt = CheckpointManager(self.dirs["model"])
+        self.seed = seed
+
+    def run(self, restore: bool = False) -> TrainState:
+        ts = self.fns.init_state(jax.random.key(self.seed))
+        if restore:
+            restored = self.ckpt.restore(ts)
+            if restored is not None:
+                ts = restored
+                self.counter.cur_step = int(ts.step)
+                log.info("restored checkpoint at step %d", self.counter.cur_step)
+        t0 = time.time()
+        window_metrics = []
+        last_step, last_t = self.counter.cur_step, t0
+        while not self.counter.should_stop():
+            prev = self.counter.cur_step
+            ts, metrics = self.fns.train_step(ts)
+            self.counter.update(int(ts.step) - prev)
+            window_metrics.append(metrics)
+            if self.counter.should_log():
+                m = {k: float(np.mean([np.asarray(w[k]) for w in
+                                       window_metrics]))
+                     for k in window_metrics[-1]}
+                now = time.time()
+                sps = (self.counter.cur_step - last_step) / max(
+                    now - last_t, 1e-9)
+                last_step, last_t = self.counter.cur_step, now
+                row = {"step": self.counter.cur_step,
+                       "wall_s": now - t0, "env_steps_per_s": sps, **m}
+                self.train_writer.write(row)
+                log.info(
+                    "step %d | R_ep %.1f | loss %.3f | sps %.0f",
+                    self.counter.cur_step, m.get("episode_return", 0.0),
+                    m["loss"], sps)
+                window_metrics = []
+                self.ckpt.save(self.counter.cur_step, ts)
+            if self.counter.should_test():
+                self.test(ts)
+        self.ckpt.save(self.counter.cur_step, ts)
+        return ts
+
+    def test(self, ts: TrainState) -> Dict[str, float]:
+        rows = []
+        for s in self.cfg.env.test_seeds:
+            out = self.fns.eval_episode(ts.params, jax.random.key(int(s)))
+            rows.append({k: float(v) for k, v in out.items()})
+        avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        avg["step"] = self.counter.cur_step
+        self.test_writer.write(avg)
+        log.info("test @ %d: episode_return %.1f", self.counter.cur_step,
+                 avg["episode_return"])
+        return avg
+
+
+class Evaluator:
+    """Seed-swept evaluation of a trained policy (reference utils.py
+    Evaluator ~L230): per-seed episode metrics to csv."""
+
+    def __init__(self, fns: A2CFns, output_dir: str, seeds=(2000, 2500, 3000),
+                 demo: bool = False):
+        self.fns = fns
+        self.writer = MetricWriter(output_dir, "eval_log")
+        self.seeds = seeds
+
+    def run(self, params) -> Dict[str, float]:
+        rows = []
+        for s in self.seeds:
+            out = self.fns.eval_episode(params, jax.random.key(int(s)))
+            row = {"seed": int(s), **{k: float(v) for k, v in out.items()}}
+            self.writer.write(row)
+            rows.append(row)
+        avg = {k: float(np.mean([r[k] for r in rows]))
+               for k in rows[0] if k != "seed"}
+        log.info("eval over %d seeds: %s", len(self.seeds), avg)
+        return avg

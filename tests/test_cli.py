@@ -1,0 +1,71 @@
+"""End-to-end CLI tests: config load/save round-trip, a tiny train run
+producing logs + checkpoints, and evaluate restoring from it (reference
+main.py train/evaluate surfaces)."""
+
+import configparser
+import os
+
+import numpy as np
+import pytest
+
+from deeprl_network_tpu.config import load_config, save_config
+
+
+def test_load_reference_style_config():
+    cfg = load_config("configs/config_ma2c_nc_grid.ini")
+    assert cfg.agent == "ma2c_nc"
+    assert cfg.env.scenario == "large_grid"
+    assert cfg.env.coop_gamma == 0.9
+    assert cfg.model.rmsp_alpha == 0.99
+    assert cfg.model.batch_size == 120
+    assert cfg.train.total_step == 1_000_000
+    assert cfg.env.test_seeds == (10000, 10001, 10002)
+
+
+def test_agent_inferred_from_filename():
+    cfg = load_config("configs/config_ia2c_fp_cacc_catchup.ini")
+    assert cfg.agent == "ia2c_fp"
+    assert cfg.env.scenario == "cacc_catchup"
+
+
+def test_config_round_trip(tmp_path):
+    cfg = load_config("configs/config_ia2c_cacc_catchup.ini")
+    p = str(tmp_path / "snap.ini")
+    save_config(cfg, p)
+    cfg2 = load_config(p)
+    assert cfg2.env == cfg.env
+    assert cfg2.model == cfg.model
+    assert cfg2.train == cfg.train
+    assert cfg2.agent == cfg.agent
+
+
+@pytest.fixture(scope="module")
+def tiny_ini(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg")
+    p = d / "config_ia2c_cacc_catchup.ini"
+    cp = configparser.ConfigParser()
+    cp["ENV_CONFIG"] = {"scenario": "cacc_catchup", "coop_gamma": "-1",
+                        "episode_length": "40", "seed": "12",
+                        "test_seeds": "2000,2500"}
+    cp["MODEL_CONFIG"] = {"agent": "ia2c", "batch_size": "8",
+                          "num_fc": "16", "num_lstm": "16",
+                          "num_envs": "4", "reward_norm": "1000"}
+    cp["TRAIN_CONFIG"] = {"total_step": "640", "test_interval": "320",
+                          "log_interval": "160"}
+    with open(p, "w") as f:
+        cp.write(f)
+    return str(p)
+
+
+def test_train_and_evaluate_end_to_end(tiny_ini, tmp_path_factory):
+    from deeprl_network_tpu.main import main
+    base = str(tmp_path_factory.mktemp("run"))
+    main(["--base-dir", base, "train", "--config-dir", tiny_ini])
+    assert os.path.exists(os.path.join(base, "data", "train_log.csv"))
+    assert os.path.exists(os.path.join(base, "data", "test_log.csv"))
+    assert os.listdir(os.path.join(base, "model"))
+    # config snapshot in run dir (reference copy_file behavior)
+    assert any(f.endswith(".ini") for f in
+               os.listdir(os.path.join(base, "data")))
+    main(["--base-dir", base, "evaluate", "--evaluation-seeds", "2000,2500"])
+    assert os.path.exists(os.path.join(base, "eva_data", "eval_log.csv"))

@@ -1,0 +1,129 @@
+"""Grid ATSC engine tests: topology invariants, conservation, phase
+gating, spillback, greedy baseline sanity (SURVEY.md section 7 step 5:
+validate controllability before training RL)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprl_network_tpu.config import EnvConfig
+from deeprl_network_tpu.envs.grid import (
+    GRID_PHASES, LargeGridEnv, build_grid_topology,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return LargeGridEnv(EnvConfig(scenario="large_grid", coop_gamma=0.9,
+                                  episode_length_sec=300))
+
+
+def test_topology_shapes(env):
+    topo = env.topo
+    assert topo.n_node == 25
+    assert topo.n_lane == 25 * 12
+    assert env.spec.n_a_ls == (5,) * 25
+    assert env.spec.n_s_ls == (12,) * 25
+    # corner node has 2 neighbors, edge 3, interior 4
+    degs = topo.node_adj.sum(1)
+    assert degs[0] == 2 and degs[2] == 3 and degs[12] == 4
+
+
+def test_route_rows_sum(env):
+    rs = env.topo.route.sum(1)
+    # every row sums to ~1 (interior) or 0 (exits network)
+    assert np.all((np.abs(rs - 1.0) < 1e-5) | (rs < 1e-6))
+    # boundary-heading movements exit
+    assert (rs < 1e-6).sum() > 0
+
+
+def test_entry_lanes_on_boundary_only(env):
+    topo = env.topo
+    entries = np.where(topo.entry_lane > 0)[0]
+    # 5 nodes per side x 3 movements x 4 sides = 60 entry lanes
+    assert len(entries) == 60
+
+
+def test_phase_gates(env):
+    # each phase gates the declared movements only
+    topo = env.topo
+    for p, movements in enumerate(GRID_PHASES):
+        assert topo.phase_gate[0, p].sum() == len(movements)
+
+
+def test_step_conservation_no_demand():
+    cfg = EnvConfig(scenario="large_grid", demand_scale=0.0,
+                    episode_length_sec=300)
+    env = LargeGridEnv(cfg)
+    state, obs = env.reset(jax.random.key(0))
+    state = state.replace(queue=jnp.ones_like(state.queue) * 2.0)
+    total0 = float(state.queue.sum())
+    action = jnp.zeros((25,), jnp.int32)
+    state2, *_ = env.step(state, action)
+    # vehicles only leave via boundary exits; total can only decrease
+    assert float(state2.queue.sum()) <= total0 + 1e-4
+
+
+def test_demand_fills_queues():
+    cfg = EnvConfig(scenario="large_grid", episode_length_sec=300)
+    env = LargeGridEnv(cfg)
+    state, obs = env.reset(jax.random.key(0))
+    # hold all-red-ish: p1 (NS left) blocks most E/W entry flow
+    for _ in range(10):
+        state, obs, reward, done, info = env.step(
+            state, jnp.ones((25,), jnp.int32))
+    assert float(state.queue.sum()) > 0.0
+    assert float(reward.sum()) < 0.0
+    assert obs.shape == (25, 12)
+
+
+def test_greedy_beats_static(env):
+    """Greedy controller must clear more vehicles than a frozen phase —
+    the reference's sanity floor (LargeGridController)."""
+    key = jax.random.key(0)
+
+    def run(policy):
+        state, obs = env.reset(key)
+        tot = 0.0
+        for _ in range(40):
+            a = policy(state)
+            state, obs, reward, done, info = env.step(state, a)
+            tot += float(reward.sum())
+        return tot
+
+    static = run(lambda s: jnp.zeros((25,), jnp.int32))
+    greedy = run(lambda s: env.greedy_action(s))
+    assert greedy > static
+
+
+def test_yellow_blocks_discharge():
+    cfg = EnvConfig(scenario="large_grid", demand_scale=0.0,
+                    episode_length_sec=300)
+    env = LargeGridEnv(cfg)
+    state, _ = env.reset(jax.random.key(0))
+    q = jnp.ones_like(state.queue) * 10.0
+    state = state.replace(queue=q, prev_phase=jnp.zeros((25,), jnp.int32))
+    # keeping phase 0: full 5s discharge; switching to 2: only 3s
+    hold, *_ = env.step(state, jnp.zeros((25,), jnp.int32))
+    # re-prepare identical state but switch phases
+    state_b = state.replace(prev_phase=jnp.ones((25,), jnp.int32) * 2)
+    # same action 0, but prev phase differs -> yellow window applies
+    switch, *_ = env.step(state_b, jnp.zeros((25,), jnp.int32))
+    assert float(switch.queue.sum()) > float(hold.queue.sum())
+
+
+def test_episode_terminates(env):
+    state, _ = env.reset(jax.random.key(0))
+    done = False
+    for _ in range(env.episode_steps):
+        state, _, _, done, _ = env.step(state, jnp.zeros((25,), jnp.int32))
+    assert bool(done)
+
+
+def test_vmap_batch(env):
+    B = 4
+    states, obs = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), B))
+    a = jnp.zeros((B, 25), jnp.int32)
+    s2, o2, r, d, info = jax.vmap(env.step)(states, a)
+    assert r.shape == (B, 25)
