@@ -90,6 +90,13 @@ class Env:
                                            jax.Array, Dict[str, jax.Array]]:
         raise NotImplementedError
 
+    def record(self, state) -> Dict[str, jax.Array]:
+        """Per-step measurement series for evaluation output (reference
+        TrafficSimulator init_data/_measure_traffic_step/output_data and
+        CACCEnv output_data; SURVEY.md section 2.2 items 6, 9). Returns a
+        dict of arrays collected every control step by record_episode."""
+        return {}
+
     # convenience passthroughs matching the reference attribute names
     @property
     def n_agent(self) -> int:

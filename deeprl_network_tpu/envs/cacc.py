@@ -157,6 +157,12 @@ class CACCEnv(Env):
         ], axis=-1)
         return ob.astype(jnp.float32)
 
+    def record(self, s: CACCState):
+        """Per-step platoon series (reference CACCEnv output_data: headway
+        / velocity / accel csv for eval plots)."""
+        return {"headway": s.h, "velocity": s.v, "accel": s.u,
+                "v_lead": s.v_lead}
+
     def step(self, s: CACCState, action: jax.Array
              ) -> Tuple[CACCState, jax.Array, jax.Array, jax.Array,
                         Dict[str, jax.Array]]:

@@ -185,9 +185,13 @@ class TrafficNetworkEnv(Env):
             w2 = (w + 1.0) * (q2 > 0.1).astype(jnp.float32) * (1.0 - served)
             return (q2, w2, dropped), jnp.sum(dq)
 
+        # fully unrolled: control_interval_sec (=5) substeps fuse into one
+        # XLA computation instead of a scan loop with per-iteration
+        # dispatch overhead (the ops are tiny; trip-count overhead wins)
         (q, w, dropped), flows = jax.lax.scan(
             substep, (s.queue, s.wait, s.dropped),
-            jnp.arange(c.control_interval_sec))
+            jnp.arange(c.control_interval_sec),
+            unroll=c.control_interval_sec)
 
         t_new = s.t + 1
         done = t_new >= self.episode_steps
@@ -207,6 +211,15 @@ class TrafficNetworkEnv(Env):
                 "throughput": jnp.sum(flows),
                 "dropped": dropped}
         return s_new, self._obs(s_new), reward.astype(jnp.float32), done, info
+
+    def record(self, s: NetworkState):
+        """Per-step traffic series (reference _measure_traffic_step /
+        output_data: queue/wait per node csv)."""
+        node_mask = jnp.asarray(self._node_lane_mask)
+        return {"node_queue": node_mask @ s.queue,
+                "node_wait": node_mask @ s.wait,
+                "total_queue": jnp.sum(s.queue),
+                "dropped": s.dropped}
 
     # ---- greedy baseline (reference LargeGridController/RealNetController)
 

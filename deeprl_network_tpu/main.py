@@ -60,6 +60,9 @@ def parse_args(argv=None):
                    help="defaults to the snapshot in base-dir/data")
     e.add_argument("--evaluation-seeds", default="2000,2500,3000")
     e.add_argument("--demo", action="store_true")
+    e.add_argument("--naive", action="store_true",
+                   help="evaluate the env's greedy controller baseline "
+                        "(reference naive_policy path)")
     return p.parse_args(argv)
 
 
@@ -88,13 +91,19 @@ def evaluate(args) -> None:
     config = load_config(cfg_path)
     env = init_env(config)
     fns = init_agent(env, config)
+    seeds = [int(s) for s in args.evaluation_seeds.split(",")]
+    out_dir = os.path.join(args.base_dir, "eva_data")
+    if args.naive:
+        # greedy-controller baseline, no model needed (reference
+        # main.py init_env(naive_policy=True) + greedy controllers)
+        Evaluator(fns, out_dir, seeds=seeds, demo=args.demo,
+                  policy="controller").run(None)
+        return
     trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed)
     ts = fns.init_state(jax.random.key(config.env.seed))
     restored = trainer.ckpt.restore(ts)
     if restored is None:
         raise FileNotFoundError("no checkpoint found under base-dir/model")
-    seeds = [int(s) for s in args.evaluation_seeds.split(",")]
-    out_dir = os.path.join(args.base_dir, "eva_data")
     Evaluator(fns, out_dir, seeds=seeds, demo=args.demo).run(restored.params)
 
 

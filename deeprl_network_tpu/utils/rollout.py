@@ -38,6 +38,12 @@ from deeprl_network_tpu.models.policies import (
 )
 from deeprl_network_tpu.utils.scheduler import make_schedule
 
+# unroll factor for the T-step rollout scan. Measured on TPU v5e: >1
+# multiplies XLA compile time by minutes (the body contains the full env
+# step + policy) for marginal steady-state gain — throughput is better
+# bought with a larger env batch B. Keep 1.
+_ROLLOUT_UNROLL = 1
+
 
 @struct.dataclass
 class TrainState:
@@ -75,6 +81,7 @@ class A2CFns(NamedTuple):
     init_state: Callable[..., TrainState]
     train_step: Callable[[TrainState], Tuple[TrainState, Dict[str, jax.Array]]]
     eval_episode: Callable[..., Dict[str, jax.Array]]
+    record_episode: Callable[..., Dict[str, jax.Array]]
     spec: PolicySpec
     optimizer: optax.GradientTransformation
 
@@ -168,7 +175,8 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         carry0 = (ts.params, ts.env_state, ts.obs, ts.fp, ts.carry,
                   ts.prev_done, ts.key, ts.ep_ret, ts.ep_len,
                   ts.last_ep_ret, ts.last_ep_len)
-        carry1, outs = jax.lax.scan(rollout_body, carry0, None, length=T)
+        carry1, outs = jax.lax.scan(rollout_body, carry0, None, length=T,
+                                    unroll=_ROLLOUT_UNROLL)
         (_, env_state, obs_f, fp_f, lcarry_f, done_f, key,
          ep_ret, ep_len, last_ret, last_len) = carry1
         (obs_seq, fp_seq, pdone_seq, act_seq, rew_seq, val_seq, done_seq,
@@ -277,11 +285,48 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
                 out["env/" + k] = jnp.mean(v)
         return out
 
+    def record_episode(params: Optional[PolicyParams], key: jax.Array,
+                       max_steps: Optional[int] = None,
+                       policy: str = "greedy") -> Dict[str, jax.Array]:
+        """One episode with full per-step measurement series (reference
+        Evaluator + env.init_data/output_data). policy: 'greedy' (argmax),
+        'sample', or 'controller' (the env's built-in greedy baseline,
+        the reference naive_policy path)."""
+        horizon = max_steps or _default_horizon(env)
+        k_env, k_run = jax.random.split(key)
+        state, obs = env.reset(k_env)
+        carry = init_carry(spec)
+        fp = init_fingerprint(spec)
+
+        def body(c, _):
+            state, obs, fp, carry, key, alive = c
+            key, k_act = jax.random.split(key)
+            if policy == "controller":
+                action = env.greedy_action(state)
+                new_fp = fp
+            else:
+                carry, logits, _ = pstep(params, carry, obs, fp,
+                                         jnp.zeros(()))
+                action = (jnp.argmax(logits, -1) if policy == "greedy"
+                          else jax.random.categorical(k_act, logits))
+                new_fp = jax.nn.softmax(logits, -1)
+            state2, obs2, reward, done, info = env.step(state, action)
+            out = {"action": action, "reward": reward, "alive": alive,
+                   **env.record(state2), **info}
+            alive2 = alive * (1.0 - done.astype(jnp.float32))
+            return (state2, obs2, new_fp, carry, key, alive2), out
+
+        c0 = (state, obs, fp, carry, k_run, jnp.ones(()))
+        _, seq = jax.lax.scan(body, c0, None, length=horizon)
+        return seq
+
     if jit:
         train_step = jax.jit(train_step, donate_argnums=0)
         eval_episode = jax.jit(eval_episode, static_argnums=(2, 3))
+        record_episode = jax.jit(record_episode, static_argnums=(2, 3))
     return A2CFns(init_state=init_state, train_step=train_step,
-                  eval_episode=eval_episode, spec=spec, optimizer=optimizer)
+                  eval_episode=eval_episode, record_episode=record_episode,
+                  spec=spec, optimizer=optimizer)
 
 
 def _raw_key(key: jax.Array) -> jax.Array:

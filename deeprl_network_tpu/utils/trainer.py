@@ -10,6 +10,7 @@ seeds, metric csv/jsonl output, and checkpoints.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -128,22 +129,61 @@ class Trainer:
 
 class Evaluator:
     """Seed-swept evaluation of a trained policy (reference utils.py
-    Evaluator ~L230): per-seed episode metrics to csv."""
+    Evaluator ~L230): per-seed episode metrics plus per-step measurement
+    series csvs (reference env.init_data/collect_tripinfo/output_data)."""
 
     def __init__(self, fns: A2CFns, output_dir: str, seeds=(2000, 2500, 3000),
-                 demo: bool = False):
+                 demo: bool = False, policy: str = "greedy",
+                 record: bool = True):
         self.fns = fns
+        self.out_dir = output_dir
         self.writer = MetricWriter(output_dir, "eval_log")
         self.seeds = seeds
+        self.policy = policy
+        self.record = record
 
     def run(self, params) -> Dict[str, float]:
+        import csv
         rows = []
         for s in self.seeds:
-            out = self.fns.eval_episode(params, jax.random.key(int(s)))
-            row = {"seed": int(s), **{k: float(v) for k, v in out.items()}}
+            seq = self.fns.record_episode(params, jax.random.key(int(s)),
+                                          None, self.policy)
+            seq = {k: np.asarray(v) for k, v in seq.items()}
+            alive = seq.pop("alive")
+            steps = int(alive.sum())
+            ep_ret = float((seq["reward"].sum(-1) * alive).sum())
+            row = {"seed": int(s), "episode_return": ep_ret,
+                   "episode_len": steps}
+            for k, v in seq.items():
+                if v.ndim >= 1 and k != "action":
+                    row[f"avg_{k}"] = float(np.mean(v[:steps]))
             self.writer.write(row)
             rows.append(row)
+            if self.record:
+                self._write_series(s, seq, steps)
         avg = {k: float(np.mean([r[k] for r in rows]))
                for k in rows[0] if k != "seed"}
         log.info("eval over %d seeds: %s", len(self.seeds), avg)
         return avg
+
+    def _write_series(self, seed: int, seq, steps: int) -> None:
+        """Per-step csv, per-agent columns flattened (reference
+        {scenario}_{agent}_traffic.csv / platoon csv schema)."""
+        import csv as _csv
+        path = os.path.join(self.out_dir, f"episode_seed{seed}.csv")
+        cols, data = [], []
+        for k, v in seq.items():
+            v = v[:steps]
+            if v.ndim == 1:
+                cols.append(k)
+                data.append(v[:, None])
+            else:
+                flat = v.reshape(steps, -1)
+                cols.extend(f"{k}_{i}" for i in range(flat.shape[1]))
+                data.append(flat)
+        mat = np.concatenate(data, axis=1)
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["step"] + cols)
+            for t in range(steps):
+                w.writerow([t] + [f"{x:.4f}" for x in mat[t]])
