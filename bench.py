@@ -24,6 +24,9 @@ import numpy as np
 def measure_tpu(seconds_budget: float = 20.0):
     import jax
 
+    from deeprl_network_tpu.utils.compilation_cache import enable
+    enable()
+
     from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
     from deeprl_network_tpu.envs.grid import LargeGridEnv
     from deeprl_network_tpu.utils.rollout import make_a2c
@@ -37,12 +40,15 @@ def measure_tpu(seconds_budget: float = 20.0):
     # compile + warmup
     ts, m = fns.train_step(ts)
     jax.block_until_ready(m["loss"])
+    # sync every chunk: async dispatch outruns execution and would build
+    # an unbounded device queue otherwise
     n_updates = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < seconds_budget:
-        ts, m = fns.train_step(ts)
-        n_updates += 1
-    jax.block_until_ready(m["loss"])
+        for _ in range(5):
+            ts, m = fns.train_step(ts)
+        jax.block_until_ready(m["loss"])
+        n_updates += 5
     dt = time.perf_counter() - t0
     env_steps = n_updates * mcfg.batch_size * mcfg.num_envs
     return env_steps / dt, float(m["loss"])

@@ -17,6 +17,9 @@ import os
 import jax
 
 from deeprl_network_tpu.config import Config, load_config, save_config
+from deeprl_network_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
 from deeprl_network_tpu.envs.base import Env
 from deeprl_network_tpu.utils.logging import init_dir, init_log
 from deeprl_network_tpu.utils.rollout import make_a2c
