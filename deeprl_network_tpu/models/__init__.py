@@ -5,7 +5,7 @@ from deeprl_network_tpu.models.layers import (  # noqa: F401
 from deeprl_network_tpu.models.policies import (  # noqa: F401
     AGENT_TO_COMM, Carry, CommType, PolicyParams, PolicySpec,
     consensus_update, init_carry, init_fingerprint, init_policy_params,
-    policy_step,
+    mask_comm_params, policy_step,
 )
 from deeprl_network_tpu.models.a2c import (  # noqa: F401
     LossStats, Rollout, a2c_loss, normalize_rewards, nstep_returns,

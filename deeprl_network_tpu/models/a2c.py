@@ -84,17 +84,25 @@ class LossStats(NamedTuple):
 
 def a2c_loss(spec: PolicySpec, params: PolicyParams, init_carry: Carry,
              roll: Rollout, returns: jax.Array, advs: jax.Array,
-             entropy_coef: float | jax.Array, value_coef: float
-             ) -> Tuple[jax.Array, LossStats]:
+             entropy_coef: float | jax.Array, value_coef: float,
+             remat: bool = True) -> Tuple[jax.Array, LossStats]:
     """Joint A2C loss for one env window; replays the policy over T steps
     (truncated BPTT from the stored initial carry). vmap over envs and
-    mean the result."""
+    mean the result.
+
+    ``remat``: rematerialize the cell in the backward pass — without it
+    XLA saves ~12 [T, B, N, H] activation tensors across the scan
+    (measured OOM at B=1024 on a 16 GB chip); with it only the per-step
+    carry survives, trading ~1.3x FLOPs for ~10x activation memory.
+    """
 
     def step(carry, x):
         ob, fp, pd = x
         carry, logits, value = policy_step(spec, params, carry, ob, fp, pd)
         return carry, (logits, value)
 
+    if remat:
+        step = jax.checkpoint(step)
     _, (logits, values) = jax.lax.scan(
         step, init_carry, (roll.obs, roll.fps,
                            roll.prev_dones.astype(roll.obs.dtype)))

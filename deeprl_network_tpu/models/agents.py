@@ -33,7 +33,8 @@ from deeprl_network_tpu.models.a2c import (
 from deeprl_network_tpu.models.layers import tf1_rmsprop
 from deeprl_network_tpu.models.policies import (
     AGENT_TO_COMM, Carry, CommType, PolicySpec, consensus_update,
-    init_carry, init_fingerprint, init_policy_params, policy_step,
+    init_carry, init_fingerprint, init_policy_params, mask_comm_params,
+    policy_step,
 )
 from deeprl_network_tpu.utils.checkpoint import CheckpointManager
 from deeprl_network_tpu.utils.scheduler import make_schedule
@@ -82,7 +83,8 @@ class _BaseAgent:
             ratio=mcfg.entropy_ratio)
         self.cur_step = 0
         self._step_jit = jax.jit(
-            lambda p, c, o, f, d: policy_step(self.spec, p, c, o, f, d))
+            lambda p, c, o, f, d: policy_step(
+                self.spec, mask_comm_params(self.spec, p), c, o, f, d))
         self._update_jit = jax.jit(self._update)
         self.reset()
         self._buffer: List[dict] = []
@@ -163,6 +165,7 @@ class _BaseAgent:
         beta = self._ent_sched(step)
 
         def loss_fn(p):
+            p = mask_comm_params(self.spec, p)
             roll = Rollout(obs=obs, fps=fps, prev_dones=prev_dones,
                            actions=actions, rewards=rewards, values=values,
                            dones=dones)

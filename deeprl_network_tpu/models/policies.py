@@ -166,7 +166,30 @@ def init_policy_params(key: jax.Array, spec: PolicySpec,
                            np.sqrt(2.0), dtype) * edge_scale
         w_dial = fc_init(ks[6], spec.n_lstm, spec.n_msg, scale=np.sqrt(2.0),
                          batch_shape=(n,), dtype=dtype)
-    return PolicyParams(w_obs, lstm, actor, critic, w_fp, w_msg, w_dial)
+    params = PolicyParams(w_obs, lstm, actor, critic, w_fp, w_msg, w_dial)
+    # non-edge blocks start (and stay) zero; see mask_comm_params
+    return mask_comm_params(spec, params)
+
+
+def mask_comm_params(spec: PolicySpec, params: PolicyParams) -> PolicyParams:
+    """Zero the per-edge weight blocks of non-edges.
+
+    Masking here — ONCE per train/eval call, outside the T-step scan —
+    instead of multiplying by the adjacency inside every policy_step keeps
+    XLA from materializing a [T, B, N, N, H] masked-activation residual
+    for the backward pass (measured: 9 GB at B=1024 on the 25-agent
+    grid). Gradients flow through this mask, so non-edge blocks get zero
+    gradient and never drift: phantom edges cannot form.
+    """
+    if spec.comm_type in (CommType.NONE,) or spec.neighbor_mask is None:
+        return params
+    adj = jnp.asarray(spec.adj())[:, :, None, None]
+    w_fp = params.w_fp * adj if params.w_fp is not None else None
+    w_msg = params.w_msg
+    if w_msg is not None and spec.comm_type in (CommType.NEURCOMM,
+                                                CommType.DIAL):
+        w_msg = w_msg * adj
+    return params._replace(w_fp=w_fp, w_msg=w_msg)
 
 
 def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
@@ -179,6 +202,9 @@ def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
     reference where fingerprints are numpy feeds); done: scalar in {0,1} —
     resets the LSTM carry (reference lstm done-masking).
 
+    ``params`` must have passed :func:`mask_comm_params` (non-edge blocks
+    zeroed); the per-edge einsums below then need no adjacency factor.
+
     Returns (new_carry, masked logits [N, n_a_max], values [N]).
     Batch over envs with ``jax.vmap`` (spec/params broadcast).
     """
@@ -190,17 +216,17 @@ def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
     ct = spec.comm_type
     if ct in (CommType.FP, CommType.NEURCOMM):
         fp_in = jax.lax.stop_gradient(fp)
-        e = e + jnp.einsum("nm,ma,nmaf->nf", adj, fp_in, params.w_fp)
+        e = e + jnp.einsum("ma,nmaf->nf", fp_in, params.w_fp)
     if ct == CommType.NEURCOMM:
         # differentiable comm: gradient flows into neighbors' h
-        e = e + jnp.einsum("nm,mh,nmhf->nf", adj, h_prev, params.w_msg)
+        e = e + jnp.einsum("mh,nmhf->nf", h_prev, params.w_msg)
     elif ct == CommType.COMMNET:
         deg = jnp.maximum(adj.sum(-1, keepdims=True), 1.0)
         mean_h = (adj @ h_prev) / deg
         e = e + mean_h @ params.w_msg
     elif ct == CommType.DIAL:
         m = jnp.einsum("mh,mhk->mk", h_prev, params.w_dial.w) + params.w_dial.b
-        e = e + jnp.einsum("nm,mk,nmkf->nf", adj, m, params.w_msg)
+        e = e + jnp.einsum("mk,nmkf->nf", m, params.w_msg)
     e = jax.nn.relu(e)
 
     done_n = jnp.broadcast_to(done, (spec.n_agent,))

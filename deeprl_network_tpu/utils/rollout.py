@@ -34,7 +34,7 @@ from deeprl_network_tpu.models.a2c import (
 from deeprl_network_tpu.models.layers import tf1_rmsprop
 from deeprl_network_tpu.models.policies import (
     AGENT_TO_COMM, Carry, PolicyParams, PolicySpec, consensus_update,
-    init_carry, init_fingerprint, init_policy_params,
+    init_carry, init_fingerprint, init_policy_params, mask_comm_params,
 )
 from deeprl_network_tpu.utils.scheduler import make_schedule
 
@@ -172,7 +172,10 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
 
     def train_step(ts: TrainState) -> Tuple[TrainState, Dict[str, jax.Array]]:
         init_lcarry = ts.carry
-        carry0 = (ts.params, ts.env_state, ts.obs, ts.fp, ts.carry,
+        # mask per-edge comm blocks ONCE per update, outside the scans
+        # (see mask_comm_params: avoids giant per-step masked residuals)
+        mparams = mask_comm_params(spec, ts.params)
+        carry0 = (mparams, ts.env_state, ts.obs, ts.fp, ts.carry,
                   ts.prev_done, ts.key, ts.ep_ret, ts.ep_len,
                   ts.last_ep_ret, ts.last_ep_len)
         carry1, outs = jax.lax.scan(rollout_body, carry0, None, length=T,
@@ -185,7 +188,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         to_b = lambda x: jnp.swapaxes(x, 0, 1)
 
         # bootstrap values V(s_T)
-        _, _, v_boot = vpstep(ts.params, lcarry_f, obs_f, fp_f, done_f)
+        _, _, v_boot = vpstep(mparams, lcarry_f, obs_f, fp_f, done_f)
 
         # reward pipeline: normalize -> spatial mix -> n-step returns
         r = normalize_rewards(rew_seq, mcfg.reward_norm, mcfg.reward_clip)
@@ -197,6 +200,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         beta = ent_sched(ts.step)
 
         def batched_loss(params):
+            params = mask_comm_params(spec, params)
             # a2c_loss only reads obs/fps/prev_dones/actions from Rollout;
             # rewards/values/dones slots are filled with placeholders.
             losses, stats = jax.vmap(
@@ -252,6 +256,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         """One evaluation episode on a single env instance (reference
         Trainer.perform / Evaluator.run)."""
         horizon = max_steps or _default_horizon(env)
+        params = mask_comm_params(spec, params)
         k_env, k_run = jax.random.split(key)
         state, obs = env.reset(k_env)
         carry = init_carry(spec)
@@ -293,6 +298,8 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         'sample', or 'controller' (the env's built-in greedy baseline,
         the reference naive_policy path)."""
         horizon = max_steps or _default_horizon(env)
+        if params is not None:
+            params = mask_comm_params(spec, params)
         k_env, k_run = jax.random.split(key)
         state, obs = env.reset(k_env)
         carry = init_carry(spec)
