@@ -31,8 +31,10 @@ def measure_tpu(seconds_budget: float = 20.0):
     from deeprl_network_tpu.envs.grid import LargeGridEnv
     from deeprl_network_tpu.utils.rollout import make_a2c
 
+    # B=1024 measured optimal on v5e (1.0M env-steps/s; B=512 887k,
+    # B=192 477k; B=2048 exceeds HBM without remat)
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
-    mcfg = ModelConfig(batch_size=120, num_envs=192)
+    mcfg = ModelConfig(batch_size=120, num_envs=1024)
     tcfg = TrainConfig(total_step=1_000_000)
     env = LargeGridEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")

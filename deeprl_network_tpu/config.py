@@ -61,7 +61,10 @@ class ModelConfig:
     reward_clip: float = 2.0
     # TPU-native additions (no reference equivalent):
     num_envs: int = 1           # B parallel env instances per replica
-    dtype: str = "float32"      # compute dtype for the policy nets
+    remat: bool = False         # rematerialize BPTT activations: ~10x less
+                                # activation memory (use for very large B),
+                                # but multiplies XLA-TPU compile time by
+                                # minutes — keep off at B <= 512
 
     @property
     def n_step(self) -> int:

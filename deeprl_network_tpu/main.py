@@ -58,6 +58,8 @@ def parse_args(argv=None):
     t.add_argument("--restore", action="store_true")
     t.add_argument("--test-mode", default="no_test",
                    choices=["no_test", "in_train_test"])
+    t.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace at startup")
     e = sub.add_parser("evaluate")
     e.add_argument("--config-dir", default=None,
                    help="defaults to the snapshot in base-dir/data")
@@ -79,7 +81,8 @@ def train(args) -> None:
     fns = init_agent(env, config)
     log.info("agent=%s scenario=%s n_agent=%d devices=%s",
              config.agent, config.scenario, env.n_agent, jax.devices())
-    trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed)
+    trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed,
+                      profile=args.profile)
     trainer.run(restore=args.restore)
 
 

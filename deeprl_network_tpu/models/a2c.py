@@ -85,7 +85,7 @@ class LossStats(NamedTuple):
 def a2c_loss(spec: PolicySpec, params: PolicyParams, init_carry: Carry,
              roll: Rollout, returns: jax.Array, advs: jax.Array,
              entropy_coef: float | jax.Array, value_coef: float,
-             remat: bool = True) -> Tuple[jax.Array, LossStats]:
+             remat: bool = False) -> Tuple[jax.Array, LossStats]:
     """Joint A2C loss for one env window; replays the policy over T steps
     (truncated BPTT from the stored initial carry). vmap over envs and
     mean the result.
@@ -94,6 +94,9 @@ def a2c_loss(spec: PolicySpec, params: PolicyParams, init_carry: Carry,
     XLA saves ~12 [T, B, N, H] activation tensors across the scan
     (measured OOM at B=1024 on a 16 GB chip); with it only the per-step
     carry survives, trading ~1.3x FLOPs for ~10x activation memory.
+    Caveat (measured): jax.checkpoint inside the scan multiplies XLA-TPU
+    compile time from ~30 s to many minutes — default off; enable via
+    ModelConfig.remat only when B forces it.
     """
 
     def step(carry, x):

@@ -208,7 +208,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
                     spec, params, c,
                     Rollout(obs=o, fps=f, prev_dones=p, actions=a,
                             rewards=R, values=R, dones=p),
-                    R, A, beta, mcfg.value_coef)
+                    R, A, beta, mcfg.value_coef, remat=mcfg.remat)
             )(init_lcarry, to_b(obs_seq), to_b(fp_seq), to_b(pdone_seq),
               to_b(act_seq), to_b(returns), to_b(advs))
             return jnp.mean(losses), jax.tree.map(jnp.mean, stats)

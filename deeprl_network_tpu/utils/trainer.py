@@ -64,9 +64,10 @@ class Trainer:
     """
 
     def __init__(self, fns: A2CFns, cfg: Config, output_dir: str,
-                 seed: int = 0):
+                 seed: int = 0, profile: bool = False):
         self.fns = fns
         self.cfg = cfg
+        self.profile = profile
         self.dirs = init_dir(output_dir)
         self.counter = Counter(cfg.train.total_step,
                                cfg.train.test_interval,
@@ -84,6 +85,16 @@ class Trainer:
                 ts = restored
                 self.counter.cur_step = int(ts.step)
                 log.info("restored checkpoint at step %d", self.counter.cur_step)
+        if self.profile:
+            # device trace of a few steady-state updates (SURVEY.md
+            # section 5 item 1: jax.profiler replaces the reference's
+            # wall-clock-only dt logging); view with tensorboard/xprof
+            ts, _ = self.fns.train_step(ts)  # warmup/compile
+            with jax.profiler.trace(self.dirs["log"]):
+                for _ in range(3):
+                    ts, m = self.fns.train_step(ts)
+                jax.block_until_ready(m["loss"])
+            log.info("profiler trace written to %s", self.dirs["log"])
         t0 = time.time()
         window_metrics = []
         last_step, last_t = self.counter.cur_step, t0
