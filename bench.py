@@ -31,17 +31,26 @@ def measure_tpu(seconds_budget: float = 20.0):
     from deeprl_network_tpu.envs.grid import LargeGridEnv
     from deeprl_network_tpu.utils.rollout import make_a2c
 
-    # B=1024 measured optimal on v5e (1.0M env-steps/s; B=512 887k,
-    # B=192 477k; B=2048 exceeds HBM without remat)
+    # throughput vs cold-compile tradeoff on v5e (the axon remote-compile
+    # path bypasses the persistent cache): B=1024 hits 1.03M env-steps/s
+    # but costs ~7min cold compile; B=512 gives 887k at ~2.5min. Use 512
+    # so a cold bench finishes comfortably inside a CI budget.
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
-    mcfg = ModelConfig(batch_size=120, num_envs=1024)
+    mcfg = ModelConfig(batch_size=120, num_envs=512)
     tcfg = TrainConfig(total_step=1_000_000)
     env = LargeGridEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
+    t0 = time.perf_counter()
     ts = fns.init_state(jax.random.key(0))
+    jax.block_until_ready(ts.obs)
+    print(f"init: {time.perf_counter() - t0:.0f}s", file=sys.stderr,
+          flush=True)
     # compile + warmup
+    t0 = time.perf_counter()
     ts, m = fns.train_step(ts)
     jax.block_until_ready(m["loss"])
+    print(f"train_step compile: {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr, flush=True)
     # sync every chunk: async dispatch outruns execution and would build
     # an unbounded device queue otherwise
     n_updates = 0
