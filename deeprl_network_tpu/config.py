@@ -14,7 +14,7 @@ import configparser
 import dataclasses
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 def _parse_scalar(v: str):

@@ -34,7 +34,7 @@ Dynamics model (store-and-forward with expected-space spillback):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,9 +32,8 @@ from deeprl_network_tpu.models.a2c import (
 )
 from deeprl_network_tpu.models.layers import tf1_rmsprop
 from deeprl_network_tpu.models.policies import (
-    AGENT_TO_COMM, Carry, CommType, PolicySpec, consensus_update,
-    init_carry, init_fingerprint, init_policy_params, mask_comm_params,
-    policy_step,
+    AGENT_TO_COMM, PolicySpec, consensus_update, init_carry,
+    init_fingerprint, init_policy_params, mask_comm_params, policy_step,
 )
 from deeprl_network_tpu.utils.checkpoint import CheckpointManager
 from deeprl_network_tpu.utils.scheduler import make_schedule

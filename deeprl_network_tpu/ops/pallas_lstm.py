@@ -23,8 +23,6 @@ vmapped ``lstm_step`` on TPU; interpret=True runs it anywhere.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

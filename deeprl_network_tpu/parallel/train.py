@@ -17,11 +17,9 @@ replica starts identical — asserted by tests/test_parallel.py.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -17,7 +17,6 @@ over the mesh (see parallel/train.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

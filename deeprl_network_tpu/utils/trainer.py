@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -128,7 +128,10 @@ class Trainer:
     def test(self, ts: TrainState) -> Dict[str, float]:
         rows = []
         for s in self.cfg.env.test_seeds:
-            out = self.fns.eval_episode(ts.params, jax.random.key(int(s)))
+            # sampled policy, matching the reference's perform()/Evaluator
+            # (actions drawn from pi host-side; SURVEY.md section 3.3)
+            out = self.fns.eval_episode(ts.params, jax.random.key(int(s)),
+                                        None, False)
             rows.append({k: float(v) for k, v in out.items()})
         avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         avg["step"] = self.counter.cur_step
@@ -144,7 +147,7 @@ class Evaluator:
     series csvs (reference env.init_data/collect_tripinfo/output_data)."""
 
     def __init__(self, fns: A2CFns, output_dir: str, seeds=(2000, 2500, 3000),
-                 demo: bool = False, policy: str = "greedy",
+                 demo: bool = False, policy: str = "sample",
                  record: bool = True):
         self.fns = fns
         self.out_dir = output_dir

@@ -9,7 +9,6 @@ comparison figures / result_plot notebook).
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 import matplotlib

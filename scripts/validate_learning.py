@@ -39,7 +39,14 @@ def main():
     tcfg = TrainConfig(total_step=args.steps)
     env = CACCEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent=args.agent)
+    t0 = time.time()
     ts = fns.init_state(jax.random.key(args.seed))
+    jax.block_until_ready(ts.obs)
+    print(f"init {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    ts, _m = fns.train_step(ts)
+    jax.block_until_ready(_m["loss"])
+    print(f"compile {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
     log_every = max(args.steps // (20 * mcfg.batch_size * args.num_envs), 1)
@@ -62,12 +69,14 @@ def main():
                 "entropy": round(float(m["entropy"]), 3),
                 "sps": round(int(ts.step) / (time.time() - t0), 1),
             }), flush=True)
-    # final greedy eval
-    rets = [float(fns.eval_episode(ts.params, jax.random.key(1000 + s))
-                  ["episode_return"]) for s in range(5)]
-    print(json.dumps({"final_eval_returns": rets,
-                      "mean": float(np.mean(rets)),
-                      "first_logged_return": first_ret}), flush=True)
+    # final eval: sampled (reference semantics) and greedy
+    for name, greedy in (("sampled", False), ("greedy", True)):
+        rets = [float(fns.eval_episode(ts.params, jax.random.key(1000 + s),
+                                       None, greedy)["episode_return"])
+                for s in range(5)]
+        print(json.dumps({f"final_eval_{name}": rets,
+                          "mean": float(np.mean(rets)),
+                          "first_logged_return": first_ret}), flush=True)
 
 
 if __name__ == "__main__":
