@@ -97,6 +97,13 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
     spec = make_policy_spec(env.spec, mcfg, agent)
     n_env = num_envs or mcfg.num_envs
     T = mcfg.n_step
+    if T % 8 != 0:
+        import warnings
+        warnings.warn(
+            f"batch_size (n_step) = {T} is not a multiple of 8; unaligned "
+            f"scan outputs measurably blow up XLA-TPU compile time "
+            f"(60 -> >10min vs 120 -> ~100s on v5e). Prefer a multiple "
+            f"of 8.", stacklevel=2)
     consensus = agent == "ia2c_cu"
     D = env.spec.spatial_discount()
     gamma = mcfg.gamma

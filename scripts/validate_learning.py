@@ -34,7 +34,10 @@ def main():
 
     coop = 0.9 if args.agent.startswith("ma2c") else -1.0
     ecfg = EnvConfig(scenario=args.scenario, coop_gamma=coop)
-    mcfg = ModelConfig(batch_size=60, num_envs=args.num_envs,
+    # T=120 (the reference n_step): keep T a multiple of 8 — measured on
+    # the v5e toolchain, T=60 scan outputs (padded 60->64 sublanes)
+    # trigger a pathological >10min XLA compile; T=120 compiles in ~100s
+    mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
                        reward_norm=1000.0, lr_init=args.lr)
     tcfg = TrainConfig(total_step=args.steps)
     env = CACCEnv(ecfg)
