@@ -1,0 +1,91 @@
+"""Grid ATSC end-to-end demo: train MA2C_NC (or any family) on the
+25-agent 5x5 grid, then compare the learned policy against the greedy
+controller baseline on held-out seeds — all in one process so the XLA
+programs compile once.
+
+    python scripts/grid_demo.py --agent ma2c_nc --steps 3000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from deeprl_network_tpu.envs.grid import LargeGridEnv
+from deeprl_network_tpu.utils.rollout import make_a2c
+
+
+def ep_stats(seq, horizon):
+    alive = np.asarray(seq["alive"])
+    steps = int(alive.sum())
+    ret = float((np.asarray(seq["reward"]).sum(-1) * alive).sum())
+    q = float(np.asarray(seq["avg_queue"])[:steps].mean())
+    w = float(np.asarray(seq["avg_wait"])[:steps].mean())
+    return dict(episode_return=ret, avg_queue=q, avg_wait=w)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--agent", default="ma2c_nc")
+    p.add_argument("--steps", type=int, default=3_000_000)
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    coop = 0.9 if args.agent.startswith("ma2c") else -1.0
+    ecfg = EnvConfig(scenario="large_grid", coop_gamma=coop)
+    mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs)
+    tcfg = TrainConfig(total_step=args.steps)
+    env = LargeGridEnv(ecfg)
+    fns = make_a2c(env, mcfg, tcfg, agent=args.agent)
+
+    t0 = time.time()
+    ts = fns.init_state(jax.random.key(args.seed))
+    jax.block_until_ready(ts.obs)
+    print(f"# init {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    ts, m = fns.train_step(ts)
+    jax.block_until_ready(m["loss"])
+    print(f"# compile {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    spu = mcfg.batch_size * args.num_envs
+    log_every = max(args.steps // (15 * spu), 1)
+    i = 0
+    t0 = time.time()
+    while int(ts.step) < args.steps:
+        ts, m = fns.train_step(ts)
+        i += 1
+        if i % log_every == 0:
+            print(json.dumps({
+                "step": int(ts.step),
+                "episode_return": round(float(m["episode_return"]), 1),
+                "step_reward": round(float(m["step_reward"]), 2),
+                "avg_queue": round(float(m["env/avg_queue"]), 2),
+                "avg_wait": round(float(m["env/avg_wait"]), 2),
+                "entropy": round(float(m["entropy"]), 3),
+                "sps": round(int(ts.step) / (time.time() - t0), 1),
+            }), flush=True)
+
+    # head-to-head on held-out seeds: learned (sampled) vs greedy
+    # controller vs frozen phase
+    for policy, params in (("sample", ts.params), ("controller", None)):
+        rows = []
+        for s in (10000, 10001, 10002):
+            seq = fns.record_episode(params, jax.random.key(s), None,
+                                     policy)
+            rows.append(ep_stats(seq, env.episode_steps))
+        avg = {k: round(float(np.mean([r[k] for r in rows])), 1)
+               for k in rows[0]}
+        print(json.dumps({"eval_policy": policy, **avg}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
