@@ -82,7 +82,8 @@ def train(args) -> None:
     log.info("agent=%s scenario=%s n_agent=%d devices=%s",
              config.agent, config.scenario, env.n_agent, jax.devices())
     trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed,
-                      profile=args.profile)
+                      profile=args.profile,
+                      in_train_test=args.test_mode == "in_train_test")
     trainer.run(restore=args.restore)
 
 

@@ -64,10 +64,14 @@ class Trainer:
     """
 
     def __init__(self, fns: A2CFns, cfg: Config, output_dir: str,
-                 seed: int = 0, profile: bool = False):
+                 seed: int = 0, profile: bool = False,
+                 in_train_test: bool = True):
         self.fns = fns
         self.cfg = cfg
         self.profile = profile
+        # reference --test-mode: periodic held-out-seed evaluation episodes
+        # during training (utils.py Tester); off under 'no_test'
+        self.in_train_test = in_train_test
         self.dirs = init_dir(output_dir)
         self.counter = Counter(cfg.train.total_step,
                                cfg.train.test_interval,
@@ -120,7 +124,7 @@ class Trainer:
                     m["loss"], sps)
                 window_metrics = []
                 self.ckpt.save(self.counter.cur_step, ts)
-            if self.counter.should_test():
+            if self.counter.should_test() and self.in_train_test:
                 self.test(ts)
         self.ckpt.save(self.counter.cur_step, ts)
         return ts
