@@ -82,6 +82,44 @@ class LossStats(NamedTuple):
     entropy: jax.Array
 
 
+def action_stats(logits: jax.Array, actions: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """log pi(a|s) of the taken action and nan-safe entropy.
+
+    logits [..., A] (padded actions at ~-1e9), actions [...] int ->
+    (logp_a [...], entropy [...]).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(logp)
+    logp_a = jnp.take_along_axis(logp, actions[..., None], axis=-1)[..., 0]
+    # entropy over valid actions only: padded logits ~ -1e9 => p ~ 0,
+    # p*logp -> 0 * -1e9 = nan-safe via where
+    ent_terms = jnp.where(probs > 1e-8, probs * logp, 0.0)
+    return logp_a, -jnp.sum(ent_terms, axis=-1)
+
+
+def a2c_loss_terms(logp_a: jax.Array, entropy: jax.Array, values: jax.Array,
+                   returns: jax.Array, advs: jax.Array,
+                   entropy_coef: float | jax.Array, value_coef: float
+                   ) -> Tuple[jax.Array, LossStats]:
+    """Joint A2C loss from per-step policy statistics.
+
+    All arrays [..., N]: mean over every leading axis (time, env batch),
+    sum over the trailing agent axis — the reference's per-agent losses
+    summed in one op (SURVEY.md Appendix A). advs/returns enter under
+    stop_gradient; values carry the critic gradient.
+    """
+    lead = tuple(range(logp_a.ndim - 1))
+    policy_loss = -jnp.sum(jnp.mean(
+        logp_a * jax.lax.stop_gradient(advs), axis=lead))
+    value_loss = jnp.sum(jnp.mean(
+        0.5 * (jax.lax.stop_gradient(returns) - values) ** 2,
+        axis=lead)) * value_coef
+    entropy_loss = -jnp.sum(jnp.mean(entropy, axis=lead)) * entropy_coef
+    total = policy_loss + value_loss + entropy_loss
+    return total, LossStats(total, policy_loss, value_loss, -entropy_loss)
+
+
 def a2c_loss(spec: PolicySpec, params: PolicyParams, init_carry: Carry,
              roll: Rollout, returns: jax.Array, advs: jax.Array,
              entropy_coef: float | jax.Array, value_coef: float,
@@ -110,19 +148,6 @@ def a2c_loss(spec: PolicySpec, params: PolicyParams, init_carry: Carry,
         step, init_carry, (roll.obs, roll.fps,
                            roll.prev_dones.astype(roll.obs.dtype)))
     # logits [T, N, A], values [T, N]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    probs = jnp.exp(logp)
-    T = roll.actions.shape[0]
-    logp_a = jnp.take_along_axis(logp, roll.actions[..., None],
-                                 axis=-1)[..., 0]          # [T, N]
-    # entropy over valid actions only: padded logits ~ -1e9 => p ~ 0,
-    # p*logp -> 0 * -1e9 = nan-safe via where
-    ent_terms = jnp.where(probs > 1e-8, probs * logp, 0.0)
-    entropy = -jnp.sum(ent_terms, axis=-1)                 # [T, N]
-
-    policy_loss = -jnp.sum(jnp.mean(logp_a * jax.lax.stop_gradient(advs), 0))
-    value_loss = jnp.sum(jnp.mean(
-        0.5 * (jax.lax.stop_gradient(returns) - values) ** 2, 0)) * value_coef
-    entropy_loss = -jnp.sum(jnp.mean(entropy, 0)) * entropy_coef
-    total = policy_loss + value_loss + entropy_loss
-    return total, LossStats(total, policy_loss, value_loss, -entropy_loss)
+    logp_a, entropy = action_stats(logits, roll.actions)
+    return a2c_loss_terms(logp_a, entropy, values, returns, advs,
+                          entropy_coef, value_coef)

@@ -28,7 +28,8 @@ from flax import struct
 from deeprl_network_tpu.config import ModelConfig, TrainConfig
 from deeprl_network_tpu.envs.wrappers import AutoResetEnv
 from deeprl_network_tpu.models.a2c import (
-    Rollout, a2c_loss, normalize_rewards, nstep_returns, spatial_mix,
+    Rollout, a2c_loss, a2c_loss_terms, action_stats, normalize_rewards,
+    nstep_returns, spatial_mix,
 )
 from deeprl_network_tpu.models.layers import tf1_rmsprop
 from deeprl_network_tpu.models.policies import (
@@ -176,7 +177,17 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         return ((params, env_state2, obs2, new_fp, lcarry2, done_f, key,
                  ep_ret2, ep_len2, last_ret, last_len), out)
 
-    def train_step(ts: TrainState) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def _returns_pipeline(rew_seq, done_seq, v_boot):
+        """normalize -> spatial mix -> n-step returns ([T, B, N] in/out)."""
+        r = normalize_rewards(rew_seq, mcfg.reward_norm, mcfg.reward_clip)
+        r = spatial_mix(r, jnp.asarray(D))
+        return jax.vmap(nstep_returns, in_axes=(1, 1, 0, None),
+                        out_axes=1)(r, done_seq, v_boot, gamma)
+
+    def _replay_loss_and_grads(ts, beta):
+        """Reference-structured two-pass update: rollout scan without
+        gradients, then replay the T window for truncated BPTT (the
+        explore/backward split of SURVEY.md call stacks 3.1/3.4)."""
         init_lcarry = ts.carry
         # mask per-edge comm blocks ONCE per update, outside the scans
         # (see mask_comm_params: avoids giant per-step masked residuals)
@@ -196,14 +207,8 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         # bootstrap values V(s_T)
         _, _, v_boot = vpstep(mparams, lcarry_f, obs_f, fp_f, done_f)
 
-        # reward pipeline: normalize -> spatial mix -> n-step returns
-        r = normalize_rewards(rew_seq, mcfg.reward_norm, mcfg.reward_clip)
-        r = spatial_mix(r, jnp.asarray(D))
-        returns = jax.vmap(nstep_returns, in_axes=(1, 1, 0, None),
-                           out_axes=1)(r, done_seq, v_boot, gamma)
+        returns = _returns_pipeline(rew_seq, done_seq, v_boot)
         advs = returns - val_seq
-
-        beta = ent_sched(ts.step)
 
         def batched_loss(params):
             params = mask_comm_params(spec, params)
@@ -221,6 +226,90 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
 
         (loss, stats), grads = jax.value_and_grad(batched_loss,
                                                   has_aux=True)(ts.params)
+        new_core = (env_state, obs_f, fp_f, lcarry_f, done_f, key,
+                    ep_ret, ep_len, last_ret, last_len)
+        extra = {"step_reward": jnp.mean(rew_seq.sum(-1))}
+        for k, v in info_seq.items():
+            extra["env/" + k] = jnp.mean(v.astype(jnp.float32))
+        return loss, stats, grads, new_core, extra
+
+    def _fused_loss_and_grads(ts, beta):
+        """Single-pass update: differentiate through the rollout scan
+        itself. Gradients flow through the LSTM carry chain exactly as in
+        the replay (same truncated-BPTT window); everything the replay
+        treats as recorded constants — obs, rewards, fingerprints, the
+        bootstrap value — is stop_gradient'ed here, so the math is
+        identical (tests/test_train.py::test_fused_grad_matches_replay)
+        while the second T-step policy scan disappears."""
+
+        def fused_loss(params):
+            mparams = mask_comm_params(spec, params)
+            sg = jax.lax.stop_gradient
+
+            def body(carry_in, _):
+                (env_state, obs, fp, lcarry, prev_done, key,
+                 ep_ret, ep_len, last_ret, last_len) = carry_in
+                key, k_act = jax.random.split(key)
+                lcarry2, logits, values = vpstep(mparams, lcarry, obs, fp,
+                                                 prev_done)
+                actions = jax.random.categorical(k_act, logits)
+                new_fp = sg(jax.nn.softmax(logits, axis=-1))
+                env_state2, obs2, reward, done, info = jax.vmap(wenv.step)(
+                    env_state, actions)
+                obs2, reward = sg(obs2), sg(reward)
+                done_f = done.astype(jnp.float32)
+                new_fp = jnp.where(done_f[:, None, None], uniform_fp[None],
+                                   new_fp)
+                g_reward = reward.sum(-1)
+                ep_ret2 = ep_ret + g_reward
+                ep_len2 = ep_len + 1.0
+                last_ret2 = jnp.where(done_f > 0, ep_ret2, last_ret)
+                last_len2 = jnp.where(done_f > 0, ep_len2, last_len)
+                ep_ret2 = ep_ret2 * (1.0 - done_f)
+                ep_len2 = ep_len2 * (1.0 - done_f)
+                logp_a, entropy = action_stats(logits, actions)
+                out = (logp_a, entropy, values, reward, done_f, info)
+                return ((env_state2, obs2, new_fp, lcarry2, done_f, key,
+                         ep_ret2, ep_len2, last_ret2, last_len2), out)
+
+            if mcfg.remat:
+                body = jax.checkpoint(body)
+            carry0 = (ts.env_state, ts.obs, ts.fp, ts.carry, ts.prev_done,
+                      ts.key, ts.ep_ret, ts.ep_len, ts.last_ep_ret,
+                      ts.last_ep_len)
+            carry1, outs = jax.lax.scan(body, carry0, None, length=T,
+                                        unroll=_ROLLOUT_UNROLL)
+            (env_state, obs_f, fp_f, lcarry_f, done_f, key,
+             ep_ret, ep_len, last_ret, last_len) = carry1
+            logp_seq, ent_seq, val_seq, rew_seq, done_seq, info_seq = outs
+
+            _, _, v_boot = vpstep(mparams, lcarry_f, obs_f, fp_f, done_f)
+            returns = _returns_pipeline(rew_seq, done_seq, sg(v_boot))
+            advs = returns - sg(val_seq)
+            loss, stats = a2c_loss_terms(logp_seq, ent_seq, val_seq,
+                                         returns, advs, beta,
+                                         mcfg.value_coef)
+            new_core = (env_state, obs_f, fp_f, lcarry_f, done_f, key,
+                        ep_ret, ep_len, last_ret, last_len)
+            extra = {"step_reward": jnp.mean(rew_seq.sum(-1))}
+            for k, v in info_seq.items():
+                extra["env/" + k] = jnp.mean(v.astype(jnp.float32))
+            return loss, (stats, new_core, extra)
+
+        (loss, (stats, new_core, extra)), grads = jax.value_and_grad(
+            fused_loss, has_aux=True)(ts.params)
+        return loss, stats, grads, new_core, extra
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        beta = ent_sched(ts.step)
+        if mcfg.fused_grad:
+            loss, stats, grads, new_core, extra = _fused_loss_and_grads(
+                ts, beta)
+        else:
+            loss, stats, grads, new_core, extra = _replay_loss_and_grads(
+                ts, beta)
+        (env_state, obs_f, fp_f, lcarry_f, done_f, key,
+         ep_ret, ep_len, last_ret, last_len) = new_core
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         grad_norm = optax.global_norm(grads)
@@ -244,14 +333,12 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
             "value_loss": stats.value,
             "entropy": stats.entropy,
             "grad_norm": grad_norm,
-            "step_reward": jnp.mean(rew_seq.sum(-1)),
             "episode_return": jnp.mean(last_ret),
             "episode_len": jnp.mean(last_len),
             "lr": lr_env_sched(ts.step),
             "beta": beta,
+            **extra,
         }
-        for k, v in info_seq.items():
-            metrics["env/" + k] = jnp.mean(v.astype(jnp.float32))
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)
         return new_ts, metrics

@@ -35,7 +35,12 @@ def ep_stats(seq, horizon):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--agent", default="ma2c_nc")
-    p.add_argument("--steps", type=int, default=3_000_000)
+    # update-count parity with the reference matters, not env-step parity:
+    # the reference's 1M steps at one env = ~8300 sequential updates; at
+    # B=256 envs one update consumes 30720 steps, so reaching thousands
+    # of updates needs hundreds of millions of env steps (minutes on one
+    # chip at ~400k steps/s).
+    p.add_argument("--steps", type=int, default=300_000_000)
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -58,6 +63,12 @@ def main():
 
     spu = mcfg.batch_size * args.num_envs
     log_every = max(args.steps // (15 * spu), 1)
+    # avoid phase-aliasing with the episode period (an ATSC episode is an
+    # exact number of updates; a multiple would sample the same episode
+    # phase every log and misrepresent steady-state queues)
+    ep_updates = max(env.episode_steps // mcfg.batch_size, 1)
+    while log_every > 1 and log_every % ep_updates == 0:
+        log_every += 1
     i = 0
     t0 = time.time()
     while int(ts.step) < args.steps:

@@ -60,7 +60,8 @@ def tiny_ini(tmp_path_factory):
 def test_train_and_evaluate_end_to_end(tiny_ini, tmp_path_factory):
     from deeprl_network_tpu.main import main
     base = str(tmp_path_factory.mktemp("run"))
-    main(["--base-dir", base, "train", "--config-dir", tiny_ini])
+    main(["--base-dir", base, "train", "--config-dir", tiny_ini,
+          "--test-mode", "in_train_test"])
     assert os.path.exists(os.path.join(base, "data", "train_log.csv"))
     assert os.path.exists(os.path.join(base, "data", "test_log.csv"))
     assert os.listdir(os.path.join(base, "model"))
@@ -69,3 +70,13 @@ def test_train_and_evaluate_end_to_end(tiny_ini, tmp_path_factory):
                os.listdir(os.path.join(base, "data")))
     main(["--base-dir", base, "evaluate", "--evaluation-seeds", "2000,2500"])
     assert os.path.exists(os.path.join(base, "eva_data", "eval_log.csv"))
+
+
+def test_train_no_test_mode_skips_test_log(tiny_ini, tmp_path_factory):
+    """Reference --test-mode no_test: no held-out evaluation during
+    training, so no test_log output."""
+    from deeprl_network_tpu.main import main
+    base = str(tmp_path_factory.mktemp("run_nt"))
+    main(["--base-dir", base, "train", "--config-dir", tiny_ini])
+    assert os.path.exists(os.path.join(base, "data", "train_log.csv"))
+    assert not os.path.exists(os.path.join(base, "data", "test_log.csv"))

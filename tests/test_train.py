@@ -86,3 +86,56 @@ def test_consensus_changes_update_direction():
     wa = np.array(ts_a.params.w_obs.w)
     wb = np.array(ts_b.params.w_obs.w)
     assert not np.allclose(wa, wb)
+
+
+@pytest.mark.parametrize("agent", ["ia2c", "ma2c_nc", "ma2c_dial"])
+def test_fused_grad_matches_replay(agent):
+    """The single-scan fused-gradient update must produce the same
+    parameters, metrics, and trajectory as the reference-structured
+    two-pass (rollout + BPTT replay) update."""
+    import dataclasses
+
+    coop = 0.9 if agent.startswith("ma2c") else -1.0
+    ecfg, mcfg, tcfg = small_cfgs(coop)
+    env = CACCEnv(ecfg)
+    f_fused = make_a2c(env, dataclasses.replace(mcfg, fused_grad=True),
+                       tcfg, agent=agent)
+    f_replay = make_a2c(env, dataclasses.replace(mcfg, fused_grad=False),
+                        tcfg, agent=agent)
+    ts_f = f_fused.init_state(jax.random.key(3))
+    ts_r = f_replay.init_state(jax.random.key(3))
+    for i in range(3):
+        ts_f, m_f = f_fused.train_step(ts_f)
+        ts_r, m_r = f_replay.train_step(ts_r)
+        np.testing.assert_allclose(float(m_f["loss"]), float(m_r["loss"]),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            float(m_f["step_reward"]), float(m_r["step_reward"]),
+            rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ts_f.params),
+                    jax.tree.leaves(ts_r.params)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.array(ts_f.obs), np.array(ts_r.obs),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_grad_with_remat_matches():
+    import dataclasses
+
+    ecfg, mcfg, tcfg = small_cfgs(0.9)
+    env = CACCEnv(ecfg)
+    f_a = make_a2c(env, dataclasses.replace(mcfg, fused_grad=True,
+                                            remat=False), tcfg, "ma2c_nc")
+    f_b = make_a2c(env, dataclasses.replace(mcfg, fused_grad=True,
+                                            remat=True), tcfg, "ma2c_nc")
+    ts_a = f_a.init_state(jax.random.key(5))
+    ts_b = f_b.init_state(jax.random.key(5))
+    ts_a, m_a = f_a.train_step(ts_a)
+    ts_b, m_b = f_b.train_step(ts_b)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ts_a.params),
+                    jax.tree.leaves(ts_b.params)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-4, atol=1e-6)
