@@ -32,9 +32,10 @@ def measure_tpu(seconds_budget: float = 20.0):
     from deeprl_network_tpu.utils.rollout import make_a2c
 
     # throughput vs cold-compile tradeoff on v5e (the axon remote-compile
-    # path bypasses the persistent cache): B=1024 hits 1.03M env-steps/s
-    # but costs ~7min cold compile; B=512 gives 887k at ~2.5min. Use 512
-    # so a cold bench finishes comfortably inside a CI budget.
+    # path bypasses the persistent cache): fused path at B=512 measures
+    # 1.15M env-steps/s/chip with a ~71s cold compile — B=1024 gains
+    # little over it and compiles far longer. Use 512 so a cold bench
+    # finishes comfortably inside a CI budget.
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
     mcfg = ModelConfig(batch_size=120, num_envs=512)
     tcfg = TrainConfig(total_step=1_000_000)

@@ -36,13 +36,26 @@ def init_log(log_dir: Optional[str] = None) -> None:
 
 
 class MetricWriter:
-    """Appends metric rows to <dir>/<name>.csv and .jsonl."""
+    """Appends metric rows to <dir>/<name>.csv and .jsonl, and — when
+    ``tb_dir`` is given and tensorboard is importable — mirrors numeric
+    fields as TensorBoard scalars keyed on the row's ``step`` (the
+    reference's TF1 ``summary_writer`` output, SURVEY.md section 5
+    item 5). Degrades silently to csv/jsonl-only if tensorboard is
+    absent."""
 
-    def __init__(self, out_dir: str, name: str):
+    def __init__(self, out_dir: str, name: str, tb_dir: Optional[str] = None):
         os.makedirs(out_dir, exist_ok=True)
+        self.name = name
         self.csv_path = os.path.join(out_dir, f"{name}.csv")
         self.jsonl_path = os.path.join(out_dir, f"{name}.jsonl")
         self._fields = None
+        self._tb = None
+        if tb_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(tb_dir, name))
+            except Exception:  # tensorboard/torch not in this image
+                self._tb = None
 
     def write(self, row: Dict[str, float]) -> None:
         row = {k: (float(v) if hasattr(v, "__float__") else v)
@@ -57,3 +70,13 @@ class MetricWriter:
             w.writerow(row)
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            step = int(row.get("step", 0))
+            for k, v in row.items():
+                if k != "step" and isinstance(v, float):
+                    self._tb.add_scalar(f"{self.name}/{k}", v, step)
+            self._tb.flush()
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()

@@ -76,8 +76,12 @@ class Trainer:
         self.counter = Counter(cfg.train.total_step,
                                cfg.train.test_interval,
                                cfg.train.log_interval)
-        self.train_writer = MetricWriter(self.dirs["data"], "train_log")
-        self.test_writer = MetricWriter(self.dirs["data"], "test_log")
+        # csv/jsonl plus TensorBoard scalars under log/ (the reference's
+        # TF1 summary_writer surface)
+        self.train_writer = MetricWriter(self.dirs["data"], "train_log",
+                                         tb_dir=self.dirs["log"])
+        self.test_writer = MetricWriter(self.dirs["data"], "test_log",
+                                        tb_dir=self.dirs["log"])
         self.ckpt = CheckpointManager(self.dirs["model"])
         self.seed = seed
 

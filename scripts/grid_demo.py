@@ -43,11 +43,18 @@ def main():
     p.add_argument("--steps", type=int, default=300_000_000)
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    # the reference tuned lr for 120-transition updates; a B-env update
+    # sees B x more data, so larger lr converges in the same update count
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr-decay", default="constant")
+    p.add_argument("--entropy-coef", type=float, default=0.01)
     args = p.parse_args()
 
     coop = 0.9 if args.agent.startswith("ma2c") else -1.0
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=coop)
-    mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs)
+    mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
+                       lr_init=args.lr, lr_decay=args.lr_decay,
+                       entropy_coef=args.entropy_coef)
     tcfg = TrainConfig(total_step=args.steps)
     env = LargeGridEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent=args.agent)
