@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def measure_tpu(seconds_budget: float = 20.0):
+def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 512,
+                **mcfg_overrides):
     import jax
 
     from deeprl_network_tpu.utils.compilation_cache import enable
@@ -37,7 +38,7 @@ def measure_tpu(seconds_budget: float = 20.0):
     # little over it and compiles far longer. Use 512 so a cold bench
     # finishes comfortably inside a CI budget.
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
-    mcfg = ModelConfig(batch_size=120, num_envs=512)
+    mcfg = ModelConfig(batch_size=120, num_envs=num_envs, **mcfg_overrides)
     tcfg = TrainConfig(total_step=1_000_000)
     env = LargeGridEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")

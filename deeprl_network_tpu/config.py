@@ -65,6 +65,17 @@ class ModelConfig:
                                 # activation memory (use for very large B),
                                 # but multiplies XLA-TPU compile time by
                                 # minutes — keep off at B <= 512
+    sparse_comm: bool = False   # pack per-edge comm weight blocks to the
+                                # actual neighbor lists [N, K=max_degree]
+                                # instead of dense [N, N] einsums in the
+                                # hot scan — same math (tested), ~N/K
+                                # fewer comm FLOPs (6x on the 5x5 grid).
+                                # Measured NEUTRAL on v5e at the flagship
+                                # shape (1.154M vs 1.148M steps/s at
+                                # B=512): the dense blocked einsum is not
+                                # the bottleneck there. Off by default;
+                                # intended for much larger/sparser graphs
+                                # where the N^2 blocks stop fitting.
     fused_grad: bool = True     # differentiate through the rollout scan
                                 # itself (one T-step scan/update) instead
                                 # of replaying the window for BPTT (two

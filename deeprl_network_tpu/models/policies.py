@@ -80,6 +80,11 @@ class PolicySpec:
     n_lstm: int = 64
     comm_type: CommType = CommType.NONE
     n_msg: int = 64                      # DIAL message width
+    # K-sparse message passing: pack per-edge weight blocks to the actual
+    # neighbor lists [N, K=max_degree] instead of dense [N, N] einsums.
+    # Same math (packing happens in mask_comm_params; equivalence tested),
+    # ~N/K fewer comm FLOPs in the hot scan (6x on the 5x5 grid).
+    sparse_comm: bool = False
     # numpy statics (excluded from eq/hash; never traced)
     neighbor_mask: Optional[np.ndarray] = field(default=None, hash=False,
                                                 compare=False)
@@ -91,6 +96,21 @@ class PolicySpec:
         if a is None:
             a = np.zeros((self.n_agent, self.n_agent), np.float32)
         return a.astype(np.float32)
+
+    def neighbor_lists(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(idx [N, K] int32, valid [N, K] float32): row i holds the
+        neighbor indices of agent i padded to K = max degree (padded
+        slots point at 0 and carry valid=0, so their packed weight blocks
+        are zeroed and contribute nothing)."""
+        adj = self.adj()
+        k = max(int(adj.sum(1).max()), 1)
+        idx = np.zeros((self.n_agent, k), np.int32)
+        valid = np.zeros((self.n_agent, k), np.float32)
+        for i in range(self.n_agent):
+            nbrs = np.flatnonzero(adj[i])
+            idx[i, :len(nbrs)] = nbrs
+            valid[i, :len(nbrs)] = 1.0
+        return idx, valid
 
     def logit_mask(self) -> np.ndarray:
         """Additive mask: 0 for valid actions, BIG_NEG for padding."""
@@ -167,8 +187,24 @@ def init_policy_params(key: jax.Array, spec: PolicySpec,
         w_dial = fc_init(ks[6], spec.n_lstm, spec.n_msg, scale=np.sqrt(2.0),
                          batch_shape=(n,), dtype=dtype)
     params = PolicyParams(w_obs, lstm, actor, critic, w_fp, w_msg, w_dial)
-    # non-edge blocks start (and stay) zero; see mask_comm_params
-    return mask_comm_params(spec, params)
+    # non-edge blocks start (and stay) zero; see mask_comm_params. Stored
+    # params are ALWAYS dense [N, N, ...] — sparse_comm packing happens
+    # only at use time (mask_comm_params), never on the stored pytree.
+    return _zero_nonedge_blocks(spec, params)
+
+
+def _zero_nonedge_blocks(spec: PolicySpec,
+                         params: PolicyParams) -> PolicyParams:
+    """Zero the dense [N, N, ...] comm blocks of non-edges (no packing)."""
+    if spec.comm_type in (CommType.NONE,) or spec.neighbor_mask is None:
+        return params
+    adj = jnp.asarray(spec.adj())[:, :, None, None]
+    w_fp = params.w_fp * adj if params.w_fp is not None else None
+    w_msg = params.w_msg
+    if w_msg is not None and spec.comm_type in (CommType.NEURCOMM,
+                                                CommType.DIAL):
+        w_msg = w_msg * adj
+    return params._replace(w_fp=w_fp, w_msg=w_msg)
 
 
 def mask_comm_params(spec: PolicySpec, params: PolicyParams) -> PolicyParams:
@@ -183,13 +219,22 @@ def mask_comm_params(spec: PolicySpec, params: PolicyParams) -> PolicyParams:
     """
     if spec.comm_type in (CommType.NONE,) or spec.neighbor_mask is None:
         return params
-    adj = jnp.asarray(spec.adj())[:, :, None, None]
-    w_fp = params.w_fp * adj if params.w_fp is not None else None
-    w_msg = params.w_msg
-    if w_msg is not None and spec.comm_type in (CommType.NEURCOMM,
-                                                CommType.DIAL):
-        w_msg = w_msg * adj
-    return params._replace(w_fp=w_fp, w_msg=w_msg)
+    if spec.sparse_comm:
+        # pack dense [N, N, din, dout] blocks to the neighbor lists
+        # [N, K, din, dout]: stored/checkpointed/consensus-averaged params
+        # stay dense, policy_step consumes the packed form. The gather is
+        # differentiable (transpose = scatter-add into the dense blocks).
+        idx, valid = spec.neighbor_lists()
+        idx_j, vm = jnp.asarray(idx), jnp.asarray(valid)[:, :, None, None]
+        rows = jnp.arange(spec.n_agent)[:, None]
+        pack = lambda w: w[rows, idx_j] * vm
+        w_fp = pack(params.w_fp) if params.w_fp is not None else None
+        w_msg = params.w_msg
+        if w_msg is not None and spec.comm_type in (CommType.NEURCOMM,
+                                                    CommType.DIAL):
+            w_msg = pack(w_msg)
+        return params._replace(w_fp=w_fp, w_msg=w_msg)
+    return _zero_nonedge_blocks(spec, params)
 
 
 def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
@@ -210,23 +255,35 @@ def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
     """
     adj = jnp.asarray(spec.adj())
     h_prev = carry.h * (1.0 - done).astype(carry.h.dtype)
+    sparse = spec.sparse_comm and spec.neighbor_mask is not None
+    if sparse:
+        idx = jnp.asarray(spec.neighbor_lists()[0])   # [N, K]
 
     # input embedding: own obs through per-agent fc
     e = jnp.einsum("ns,nsf->nf", obs, params.w_obs.w) + params.w_obs.b
     ct = spec.comm_type
     if ct in (CommType.FP, CommType.NEURCOMM):
         fp_in = jax.lax.stop_gradient(fp)
-        e = e + jnp.einsum("ma,nmaf->nf", fp_in, params.w_fp)
+        if sparse:  # params.w_fp packed [N, K, A, F] by mask_comm_params
+            e = e + jnp.einsum("nka,nkaf->nf", fp_in[idx], params.w_fp)
+        else:
+            e = e + jnp.einsum("ma,nmaf->nf", fp_in, params.w_fp)
     if ct == CommType.NEURCOMM:
         # differentiable comm: gradient flows into neighbors' h
-        e = e + jnp.einsum("mh,nmhf->nf", h_prev, params.w_msg)
+        if sparse:  # packed [N, K, H, F]
+            e = e + jnp.einsum("nkh,nkhf->nf", h_prev[idx], params.w_msg)
+        else:
+            e = e + jnp.einsum("mh,nmhf->nf", h_prev, params.w_msg)
     elif ct == CommType.COMMNET:
         deg = jnp.maximum(adj.sum(-1, keepdims=True), 1.0)
         mean_h = (adj @ h_prev) / deg
         e = e + mean_h @ params.w_msg
     elif ct == CommType.DIAL:
         m = jnp.einsum("mh,mhk->mk", h_prev, params.w_dial.w) + params.w_dial.b
-        e = e + jnp.einsum("mk,nmkf->nf", m, params.w_msg)
+        if sparse:  # packed [N, K, n_msg, F]
+            e = e + jnp.einsum("nkd,nkdf->nf", m[idx], params.w_msg)
+        else:
+            e = e + jnp.einsum("mk,nmkf->nf", m, params.w_msg)
     e = jax.nn.relu(e)
 
     done_n = jnp.broadcast_to(done, (spec.n_agent,))

@@ -72,6 +72,7 @@ def make_policy_spec(env_spec, mcfg: ModelConfig, agent: str) -> PolicySpec:
         n_lstm=mcfg.num_lstm,
         comm_type=AGENT_TO_COMM[agent],
         n_msg=mcfg.num_fc,
+        sparse_comm=mcfg.sparse_comm,
         neighbor_mask=env_spec.neighbor_mask,
         action_mask=env_spec.action_mask,
     )

@@ -12,7 +12,8 @@ from deeprl_network_tpu.models.a2c import (
 )
 from deeprl_network_tpu.models.policies import (
     Carry, CommType, PolicySpec, consensus_matrix, consensus_update,
-    init_carry, init_fingerprint, init_policy_params, policy_step,
+    init_carry, init_fingerprint, init_policy_params, mask_comm_params,
+    policy_step,
 )
 
 
@@ -184,3 +185,42 @@ def test_action_mask_blocks_padded_actions():
     assert probs[1, 2] < 1e-6
     fp = np.array(init_fingerprint(spec))
     np.testing.assert_allclose(fp[1], [0.5, 0.5, 0.0])
+
+
+@pytest.mark.parametrize("comm", [CommType.FP, CommType.NEURCOMM,
+                                  CommType.DIAL])
+def test_sparse_comm_matches_dense(comm):
+    """K-sparse packed-neighbor message passing must equal the dense
+    masked [N, N] einsum form — outputs AND gradients (the gather's
+    transpose scatter-adds into the same dense blocks)."""
+    import dataclasses
+
+    dense = _mk_spec(comm, n=4)
+    sparse = dataclasses.replace(dense, sparse_comm=True)
+    params = init_policy_params(jax.random.key(0), dense)
+    carry = Carry(jnp.ones((4, 8)) * 0.1, jnp.ones((4, 8)) * 0.2)
+    obs = jax.random.normal(jax.random.key(1), (4, 4))
+    fp = jax.nn.softmax(jax.random.normal(jax.random.key(2), (4, 3)))
+    done = jnp.zeros(())
+
+    def run(spec):
+        def f(p):
+            mp = mask_comm_params(spec, p)
+            nc, logits, v = policy_step(spec, mp, carry, obs, fp, done)
+            return jnp.sum(logits ** 2) + jnp.sum(v ** 2), (nc, logits, v)
+        (loss, (nc, logits, v)), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
+        return loss, nc, logits, v, grads
+
+    l_d, nc_d, lo_d, v_d, g_d = run(dense)
+    l_s, nc_s, lo_s, v_s, g_s = run(sparse)
+    np.testing.assert_allclose(np.array(lo_s), np.array(lo_d),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.array(v_s), np.array(v_d),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(nc_s), jax.tree.leaves(nc_d)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_d)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-5, atol=1e-6)
