@@ -20,6 +20,7 @@ sys.path.insert(0, ".")
 
 from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
 from deeprl_network_tpu.envs.grid import LargeGridEnv
+from deeprl_network_tpu.envs.monaco import RealNetEnv
 from deeprl_network_tpu.utils.rollout import make_a2c
 
 
@@ -35,6 +36,8 @@ def ep_stats(seq, horizon):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--agent", default="ma2c_nc")
+    p.add_argument("--scenario", default="large_grid",
+                   choices=["large_grid", "real_net"])
     # update-count parity with the reference matters, not env-step parity:
     # the reference's 1M steps at one env = ~8300 sequential updates; at
     # B=256 envs one update consumes 30720 steps, so reaching thousands
@@ -51,12 +54,13 @@ def main():
     args = p.parse_args()
 
     coop = 0.9 if args.agent.startswith("ma2c") else -1.0
-    ecfg = EnvConfig(scenario="large_grid", coop_gamma=coop)
+    ecfg = EnvConfig(scenario=args.scenario, coop_gamma=coop)
     mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
                        lr_init=args.lr, lr_decay=args.lr_decay,
                        entropy_coef=args.entropy_coef)
     tcfg = TrainConfig(total_step=args.steps)
-    env = LargeGridEnv(ecfg)
+    env_cls = {"large_grid": LargeGridEnv, "real_net": RealNetEnv}
+    env = env_cls[args.scenario](ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent=args.agent)
 
     t0 = time.time()
