@@ -10,9 +10,13 @@ and the single fused train step (utils/rollout.py) runs under ``shard_map``
 with one gradient ``pmean`` riding ICI per update. Multi-host execution
 initializes via ``jax.distributed`` and uses the same code path.
 
-Per-device env batches use per-device PRNG streams (fold_in on the mesh
-axis index); parameters are initialized from the shared key so every
-replica starts identical — asserted by tests/test_parallel.py.
+Every env instance owns a PRNG stream derived from its GLOBAL index
+(fold_in in rollout.init_state via env_offset = axis_index * per_dev);
+parameters are initialized from the shared key so every replica starts
+identical. Consequence: the same global env batch runs bit-identically
+on any mesh size, and an N-device update equals the single-device update
+on the combined batch up to float reassociation — both asserted by
+tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -81,10 +85,11 @@ def make_parallel_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig,
 
     def _init(key):
         # params from the shared key (identical on every replica); env
-        # streams from the per-replica folded key
+        # streams are per-GLOBAL-env-index (env_offset), so the same
+        # global batch runs bit-identically on any mesh size
         params = init_policy_params(key, fns.spec)
-        local = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        return fns.init_state(local, params=params)
+        offset = jax.lax.axis_index(DATA_AXIS) * per_dev
+        return fns.init_state(key, params=params, env_offset=offset)
 
     init_sm = jax.jit(jax.shard_map(
         _init, mesh=mesh, in_specs=P(), out_specs=specs))

@@ -126,18 +126,23 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
 
     vpstep = jax.vmap(pstep, in_axes=(None, 0, 0, 0, 0))
 
-    def init_state(key: jax.Array, params: Optional[PolicyParams] = None
-                   ) -> TrainState:
+    def init_state(key: jax.Array, params: Optional[PolicyParams] = None,
+                   env_offset=0) -> TrainState:
         # store keys in raw uint32[2] form: rank-1 leaves shard cleanly
         # under shard_map (typed rank-0 key arrays cannot take a
-        # PartitionSpec axis)
+        # PartitionSpec axis). Every env gets its OWN stream, derived by
+        # fold_in on its GLOBAL index (env_offset + local index): the
+        # same global batch then produces bit-identical trajectories on
+        # any mesh size (tests/test_parallel.py DP-equivalence).
         key = _raw_key(key)
         k_param, k_env, k_run = jax.random.split(key, 3)
         if params is None:
             params = init_policy_params(k_param, spec)
         opt_state = optimizer.init(params)
-        env_state, obs = jax.vmap(wenv.reset)(
-            jax.random.split(k_env, n_env))
+        idx = env_offset + jnp.arange(n_env)
+        fold = jax.vmap(jax.random.fold_in, in_axes=(None, 0))
+        env_state, obs = jax.vmap(wenv.reset)(fold(k_env, idx))
+        run_keys = fold(k_run, idx)                    # [B, 2] raw
         carry = jax.tree.map(
             lambda x: jnp.zeros((n_env,) + x.shape, x.dtype),
             init_carry(spec))
@@ -147,7 +152,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
             params=params, opt_state=opt_state, env_state=env_state,
             obs=obs, fp=fp, carry=carry,
             prev_done=jnp.ones((n_env,), jnp.float32),
-            key=k_run, step=jnp.zeros((), jnp.int32),
+            key=run_keys, step=jnp.zeros((), jnp.int32),
             ep_ret=jnp.zeros((n_env,), jnp.float32),
             ep_len=jnp.zeros((n_env,), jnp.float32),
             last_ep_ret=jnp.zeros((n_env,), jnp.float32),
@@ -155,12 +160,17 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
 
     uniform_fp = init_fingerprint(spec)
 
+    def _split_env_keys(keys):
+        """[B, 2] raw per-env keys -> (advanced keys, action keys)."""
+        ks = jax.vmap(jax.random.split)(keys)          # [B, 2, 2]
+        return ks[:, 0], ks[:, 1]
+
     def rollout_body(carry_in, _):
         (params, env_state, obs, fp, lcarry, prev_done, key,
          ep_ret, ep_len, last_ret, last_len) = carry_in
-        key, k_act = jax.random.split(key)
+        key, k_act = _split_env_keys(key)
         lcarry2, logits, values = vpstep(params, lcarry, obs, fp, prev_done)
-        actions = jax.random.categorical(k_act, logits)        # [B, N]
+        actions = jax.vmap(jax.random.categorical)(k_act, logits)  # [B, N]
         new_fp = jax.nn.softmax(logits, axis=-1)
         env_state2, obs2, reward, done, info = jax.vmap(wenv.step)(
             env_state, actions)
@@ -250,10 +260,10 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
             def body(carry_in, _):
                 (env_state, obs, fp, lcarry, prev_done, key,
                  ep_ret, ep_len, last_ret, last_len) = carry_in
-                key, k_act = jax.random.split(key)
+                key, k_act = _split_env_keys(key)
                 lcarry2, logits, values = vpstep(mparams, lcarry, obs, fp,
                                                  prev_done)
-                actions = jax.random.categorical(k_act, logits)
+                actions = jax.vmap(jax.random.categorical)(k_act, logits)
                 new_fp = sg(jax.nn.softmax(logits, axis=-1))
                 env_state2, obs2, reward, done, info = jax.vmap(wenv.step)(
                     env_state, actions)
@@ -312,7 +322,17 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         (env_state, obs_f, fp_f, lcarry_f, done_f, key,
          ep_ret, ep_len, last_ret, last_len) = new_core
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
+            # Under shard_map's varying-manual-axes semantics (jax>=0.9),
+            # differentiating the per-device loss wrt the REPLICATED
+            # params already inserts a psum over the mesh axis: grads
+            # arrive as sum_d g_d, identical on every device (a pmean
+            # here is an identity on identical values — it does NOT
+            # divide). Normalize to the global batch mean explicitly.
+            # tests/test_parallel.py::test_multi_device_update_equals_
+            # single_device pins this: an N-device update must equal the
+            # single-device update on the combined batch.
+            n_rep = jax.lax.psum(1, axis_name)
+            grads = jax.tree.map(lambda g: g / n_rep, grads)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)

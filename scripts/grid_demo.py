@@ -51,10 +51,16 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--lr-decay", default="constant")
     p.add_argument("--entropy-coef", type=float, default=0.01)
+    # obs saturate at norm_wave*clip_wave=10 vehicles under the reference
+    # defaults, but grid peak queues run 40+: the policy can't rank
+    # movements exactly where control matters most, while the greedy
+    # baseline reads raw queues. Raising clip_wave widens the visible range.
+    p.add_argument("--clip-wave", type=float, default=2.0)
     args = p.parse_args()
 
     coop = 0.9 if args.agent.startswith("ma2c") else -1.0
-    ecfg = EnvConfig(scenario=args.scenario, coop_gamma=coop)
+    ecfg = EnvConfig(scenario=args.scenario, coop_gamma=coop,
+                     clip_wave=args.clip_wave)
     mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
                        lr_init=args.lr, lr_decay=args.lr_decay,
                        entropy_coef=args.entropy_coef)
