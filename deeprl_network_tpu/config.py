@@ -76,6 +76,18 @@ class ModelConfig:
                                 # the bottleneck there. Off by default;
                                 # intended for much larger/sparser graphs
                                 # where the N^2 blocks stop fitting.
+    use_pallas: bool = False    # run the per-agent LSTM cell as one fused
+                                # Pallas TPU kernel (ops/pallas_lstm.py,
+                                # custom VJP) instead of XLA's tail of
+                                # small batched matmuls + gate ops per
+                                # scan step. Equivalence tested; falls
+                                # back to interpret mode off-TPU.
+                                # Measured SLOWER on v5e at the flagship
+                                # shape (973k vs 1.148M steps/s at B=512):
+                                # the custom VJP spills 4 gate residuals
+                                # per step to HBM where XLA's fused
+                                # autodiff recomputes. Kept for shapes
+                                # where the cell dominates (large H).
     fused_grad: bool = True     # differentiate through the rollout scan
                                 # itself (one T-step scan/update) instead
                                 # of replaying the window for BPTT (two

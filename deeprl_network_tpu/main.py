@@ -63,6 +63,10 @@ def parse_args(argv=None):
     e = sub.add_parser("evaluate")
     e.add_argument("--config-dir", default=None,
                    help="defaults to the snapshot in base-dir/data")
+    e.add_argument("--agents", default=None,
+                   help="comma list of run subdirectories under base-dir "
+                        "to evaluate in turn (reference main.py evaluate "
+                        "--agents); default: base-dir itself is the run")
     e.add_argument("--evaluation-seeds", default="2000,2500,3000")
     e.add_argument("--demo", action="store_true")
     e.add_argument("--naive", action="store_true",
@@ -88,6 +92,14 @@ def train(args) -> None:
 
 
 def evaluate(args) -> None:
+    if args.agents:
+        import copy
+        for name in args.agents.split(","):
+            sub_args = copy.copy(args)
+            sub_args.agents = None
+            sub_args.base_dir = os.path.join(args.base_dir, name.strip())
+            evaluate(sub_args)
+        return
     init_log(None)
     cfg_path = args.config_dir
     if cfg_path is None:

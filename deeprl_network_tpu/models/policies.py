@@ -253,8 +253,23 @@ def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
     Returns (new_carry, masked logits [N, n_a_max], values [N]).
     Batch over envs with ``jax.vmap`` (spec/params broadcast).
     """
-    adj = jnp.asarray(spec.adj())
     h_prev = carry.h * (1.0 - done).astype(carry.h.dtype)
+    e = _embed(spec, params, h_prev, obs, fp)
+
+    done_n = jnp.broadcast_to(done, (spec.n_agent,))
+    new_carry, h = jax.vmap(lstm_step)(params.lstm, (carry.c, carry.h),
+                                       e, done_n)
+    logits = jnp.einsum("nh,nha->na", h, params.actor.w) + params.actor.b
+    logits = logits + jnp.asarray(spec.logit_mask())
+    value = (jnp.einsum("nh,nhv->nv", h, params.critic.w)
+             + params.critic.b)[..., 0]
+    return Carry(*new_carry), logits, value
+
+
+def _embed(spec: PolicySpec, params: PolicyParams, h_prev: jax.Array,
+           obs: jax.Array, fp: jax.Array) -> jax.Array:
+    """Pre-LSTM input embedding for one env instance ([N, ...] arrays):
+    own obs through the per-agent fc plus the comm-type message term."""
     sparse = spec.sparse_comm and spec.neighbor_mask is not None
     if sparse:
         idx = jnp.asarray(spec.neighbor_lists()[0])   # [N, K]
@@ -275,6 +290,7 @@ def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
         else:
             e = e + jnp.einsum("mh,nmhf->nf", h_prev, params.w_msg)
     elif ct == CommType.COMMNET:
+        adj = jnp.asarray(spec.adj())
         deg = jnp.maximum(adj.sum(-1, keepdims=True), 1.0)
         mean_h = (adj @ h_prev) / deg
         e = e + mean_h @ params.w_msg
@@ -284,16 +300,35 @@ def policy_step(spec: PolicySpec, params: PolicyParams, carry: Carry,
             e = e + jnp.einsum("nkd,nkdf->nf", m[idx], params.w_msg)
         else:
             e = e + jnp.einsum("mk,nmkf->nf", m, params.w_msg)
-    e = jax.nn.relu(e)
+    return jax.nn.relu(e)
 
-    done_n = jnp.broadcast_to(done, (spec.n_agent,))
-    new_carry, h = jax.vmap(lstm_step)(params.lstm, (carry.c, carry.h),
-                                       e, done_n)
-    logits = jnp.einsum("nh,nha->na", h, params.actor.w) + params.actor.b
+
+def policy_step_batched(spec: PolicySpec, params: PolicyParams,
+                        carry: Carry, obs: jax.Array, fp: jax.Array,
+                        done: jax.Array, interpret: bool = False
+                        ) -> Tuple[Carry, jax.Array, jax.Array]:
+    """One control step for all N agents of B env instances — equivalent
+    to ``jax.vmap(policy_step)`` (tested), but the per-agent LSTM cell
+    runs as ONE fused Pallas kernel (ops/pallas_lstm.py) instead of a
+    tail of small batched matmuls + elementwise gate ops per scan step.
+
+    carry: (c, h) each [B, N, H]; obs [B, N, S]; fp [B, N, A]; done [B].
+    interpret=True runs the kernel anywhere (CPU tests).
+    """
+    from deeprl_network_tpu.ops.pallas_lstm import fused_agent_lstm
+
+    done = done.astype(carry.h.dtype)
+    h_prev = carry.h * (1.0 - done)[:, None, None]
+    e = jax.vmap(lambda h, o, f: _embed(spec, params, h, o, f))(
+        h_prev, obs, fp)
+    c2, h2 = fused_agent_lstm(
+        (params.lstm.wx, params.lstm.wh, params.lstm.b),
+        (carry.c, carry.h), e, done, interpret)
+    logits = jnp.einsum("bnh,nha->bna", h2, params.actor.w) + params.actor.b
     logits = logits + jnp.asarray(spec.logit_mask())
-    value = (jnp.einsum("nh,nhv->nv", h, params.critic.w)
+    value = (jnp.einsum("bnh,nhv->bnv", h2, params.critic.w)
              + params.critic.b)[..., 0]
-    return Carry(*new_carry), logits, value
+    return Carry(c2, h2), logits, value
 
 
 def consensus_matrix(neighbor_mask: np.ndarray) -> np.ndarray:

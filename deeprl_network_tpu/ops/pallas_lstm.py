@@ -57,7 +57,10 @@ def _fwd_call(params, carry, x, done, interpret):
         pl.BlockSpec((BT, 1), lambda n, bt: (bt, 0)),          # done
         pl.BlockSpec((1, F, 4 * H), lambda n, bt: (n, 0, 0)),  # wx
         pl.BlockSpec((1, H, 4 * H), lambda n, bt: (n, 0, 0)),  # wh
-        pl.BlockSpec((1, 4 * H), lambda n, bt: (n, 0)),        # b
+        # bias as [N, 1, 4H]: TPU lowering needs the last two block dims
+        # divisible by (8, 128) or equal to the array dims; (1, 4H) on an
+        # [N, 4H] array satisfies neither when N > 1
+        pl.BlockSpec((1, 1, 4 * H), lambda n, bt: (n, 0, 0)),  # b
     ]
     out_specs = [pl.BlockSpec((1, BT, H), lambda n, bt: (n, bt, 0))
                  for _ in range(6)]
@@ -70,7 +73,7 @@ def _fwd_call(params, carry, x, done, interpret):
         c_in = c_r[0] * mask
         z = (jnp.dot(x_r[0], wx_r[0], preferred_element_type=jnp.float32)
              + jnp.dot(h_in, wh_r[0], preferred_element_type=jnp.float32)
-             + b_r[...])
+             + b_r[0])
         i = jax.nn.sigmoid(z[:, :H])
         f = jax.nn.sigmoid(z[:, H:2 * H])
         o = jax.nn.sigmoid(z[:, 2 * H:3 * H])
@@ -92,7 +95,7 @@ def _fwd_call(params, carry, x, done, interpret):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(xt, ht, ct, done2, wx, wh, b)
+    )(xt, ht, ct, done2, wx, wh, b[:, None, :])
     h_new, c_new, gi, gf, go, gu = [o.transpose(1, 0, 2) for o in outs]
     return (c_new, h_new), (gi, gf, go, gu)
 

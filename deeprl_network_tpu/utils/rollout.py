@@ -124,7 +124,15 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         from deeprl_network_tpu.models.policies import policy_step
         return policy_step(spec, params, carry, obs, fp, done)
 
-    vpstep = jax.vmap(pstep, in_axes=(None, 0, 0, 0, 0))
+    if mcfg.use_pallas:
+        from deeprl_network_tpu.models.policies import policy_step_batched
+        _interp = jax.default_backend() != "tpu"
+
+        def vpstep(params, carry, obs, fp, done):
+            return policy_step_batched(spec, params, carry, obs, fp, done,
+                                       interpret=_interp)
+    else:
+        vpstep = jax.vmap(pstep, in_axes=(None, 0, 0, 0, 0))
 
     def init_state(key: jax.Array, params: Optional[PolicyParams] = None,
                    env_offset=0) -> TrainState:

@@ -70,6 +70,12 @@ def test_train_and_evaluate_end_to_end(tiny_ini, tmp_path_factory):
                os.listdir(os.path.join(base, "data")))
     main(["--base-dir", base, "evaluate", "--evaluation-seeds", "2000,2500"])
     assert os.path.exists(os.path.join(base, "eva_data", "eval_log.csv"))
+    # reference evaluate --agents: run subdirectories under a parent dir
+    parent = os.path.dirname(base)
+    name = os.path.basename(base)
+    main(["--base-dir", parent, "evaluate", "--agents", name,
+          "--evaluation-seeds", "2000"])
+    assert os.path.getsize(os.path.join(base, "eva_data", "eval_log.csv"))
 
 
 def test_train_no_test_mode_skips_test_log(tiny_ini, tmp_path_factory):

@@ -78,3 +78,72 @@ def test_odd_batch_sizes():
     c_pal, h_pal = fused_agent_lstm((p.wx, p.wh, p.b), (c, h), x, done,
                                     True)
     np.testing.assert_allclose(np.array(h_pal), np.array(h_ref), atol=1e-5)
+
+
+def test_policy_step_batched_matches_vmap():
+    """policy_step_batched (fused Pallas LSTM, interpret mode) must equal
+    jax.vmap(policy_step) — outputs and parameter/carry gradients."""
+    import numpy as np
+    from deeprl_network_tpu.models.policies import (
+        Carry, CommType, PolicySpec, init_policy_params, mask_comm_params,
+        policy_step, policy_step_batched,
+    )
+
+    n, B = 4, 6
+    adj = np.zeros((n, n), np.float32)
+    for i in range(n - 1):
+        adj[i, i + 1] = adj[i + 1, i] = 1
+    spec = PolicySpec(n_agent=n, n_s_max=5, n_a_max=3, n_fc=8, n_lstm=8,
+                      comm_type=CommType.NEURCOMM, n_msg=8,
+                      neighbor_mask=adj,
+                      action_mask=np.ones((n, 3), np.float32))
+    params = init_policy_params(jax.random.key(0), spec)
+    carry = Carry(jax.random.normal(jax.random.key(1), (B, n, 8)) * 0.3,
+                  jax.random.normal(jax.random.key(2), (B, n, 8)) * 0.3)
+    obs = jax.random.normal(jax.random.key(3), (B, n, 5))
+    fp = jax.nn.softmax(jax.random.normal(jax.random.key(4), (B, n, 3)))
+    done = jnp.array([0., 1., 0., 0., 1., 0.])
+
+    def run(fn):
+        def f(p):
+            mp = mask_comm_params(spec, p)
+            nc, logits, v = fn(mp)
+            return jnp.sum(logits ** 2) + jnp.sum(v ** 2), (nc, logits, v)
+        return jax.value_and_grad(f, has_aux=True)(params)
+
+    vstep = jax.vmap(policy_step, in_axes=(None, None, 0, 0, 0, 0))
+    (l_r, (nc_r, lo_r, v_r)), g_r = run(
+        lambda p: vstep(spec, p, carry, obs, fp, done))
+    (l_p, (nc_p, lo_p, v_p)), g_p = run(
+        lambda p: policy_step_batched(spec, p, carry, obs, fp, done,
+                                      interpret=True))
+    np.testing.assert_allclose(np.array(lo_p), np.array(lo_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.array(v_p), np.array(v_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(nc_p), jax.tree.leaves(nc_r)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_use_pallas_smoke():
+    """Full fused train step with the Pallas LSTM cell (interpret on CPU)."""
+    import dataclasses
+    import numpy as np
+    from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
+    from deeprl_network_tpu.envs.cacc import CACCEnv
+    from deeprl_network_tpu.utils.rollout import make_a2c
+
+    ecfg = EnvConfig(scenario="cacc_catchup", coop_gamma=0.9,
+                     episode_length=40)
+    mcfg = ModelConfig(batch_size=8, num_fc=16, num_lstm=16, num_envs=4,
+                       use_pallas=True)
+    tcfg = TrainConfig(total_step=10_000)
+    env = CACCEnv(ecfg)
+    fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
+    ts = fns.init_state(jax.random.key(0))
+    ts, m = fns.train_step(ts)
+    assert np.isfinite(float(m["loss"]))
