@@ -26,15 +26,30 @@ def load_csv(path):
             for k in rows[0]} if rows else {}
 
 
+def load_jsonl(path):
+    import json
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    rows = [r for r in rows if "step" in r]  # skip eval-summary lines
+    keys = rows[0].keys() if rows else ()
+    return {k: np.array([float(r[k]) for r in rows]) for k in keys}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--runs", nargs="+", required=True,
+    p.add_argument("--runs", nargs="*", default=[],
                    help="run base dirs (each with data/train_log.csv)")
+    p.add_argument("--jsonl", nargs="*", default=[],
+                   help="demo-script jsonl training logs (results/*.jsonl)")
     p.add_argument("--out", default="training_curves.png")
     p.add_argument("--metric", default="episode_return")
     args = p.parse_args()
 
     fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    for path in args.jsonl:
+        name = os.path.splitext(os.path.basename(path))[0]
+        d = load_jsonl(path)
+        if args.metric in d:
+            axes[0].plot(d["step"], d[args.metric], label=name)
     for run in args.runs:
         name = os.path.basename(run.rstrip("/"))
         tl = os.path.join(run, "data", "train_log.csv")
