@@ -60,6 +60,10 @@ def parse_args(argv=None):
                    choices=["no_test", "in_train_test"])
     t.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace at startup")
+    t.add_argument("--single-device", action="store_true",
+                   help="disable automatic data-parallel sharding over "
+                        "the device mesh when multiple devices are "
+                        "visible")
     e = sub.add_parser("evaluate")
     e.add_argument("--config-dir", default=None,
                    help="defaults to the snapshot in base-dir/data")
@@ -82,7 +86,17 @@ def train(args) -> None:
     save_config(config, os.path.join(dirs["data"],
                                      os.path.basename(args.config_dir)))
     env = init_env(config)
-    fns = init_agent(env, config)
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and not getattr(args, "single_device", False):
+        # shard the env batch over the device mesh (config num_envs is
+        # the GLOBAL batch), params replicated, grads reduced over ICI
+        from deeprl_network_tpu.parallel.train import make_parallel_a2c
+        fns = make_parallel_a2c(env, config.model, config.train,
+                                agent=config.agent)
+        log.info("data-parallel over %d devices (%d envs/device)",
+                 n_dev, max(config.model.num_envs // n_dev, 1))
+    else:
+        fns = init_agent(env, config)
     log.info("agent=%s scenario=%s n_agent=%d devices=%s",
              config.agent, config.scenario, env.n_agent, jax.devices())
     trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed,
@@ -120,10 +134,12 @@ def evaluate(args) -> None:
         return
     trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed)
     ts = fns.init_state(jax.random.key(config.env.seed))
-    restored = trainer.ckpt.restore(ts)
-    if restored is None:
+    # params-only restore: works on checkpoints from single-device AND
+    # data-parallel runs (whose env-batch shapes differ from this ts)
+    params = trainer.ckpt.restore_params(ts.params)
+    if params is None:
         raise FileNotFoundError("no checkpoint found under base-dir/model")
-    Evaluator(fns, out_dir, seeds=seeds, demo=args.demo).run(restored.params)
+    Evaluator(fns, out_dir, seeds=seeds, demo=args.demo).run(params)
 
 
 def main(argv=None):

@@ -46,8 +46,13 @@ class ParallelA2C(NamedTuple):
     init_state: callable
     train_step: callable
     eval_episode: callable
+    record_episode: callable
     fns: A2CFns          # underlying single-replica functions
     mesh: Mesh
+
+    @property
+    def spec(self):
+        return self.fns.spec
 
 
 def _state_specs(ts_shape) -> TrainState:
@@ -104,5 +109,10 @@ def make_parallel_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig,
     def train_step(ts: TrainState):
         return step_sm(ts)
 
-    return ParallelA2C(init_state=init_state, train_step=train_step,
-                       eval_episode=fns.eval_episode, fns=fns, mesh=mesh)
+    # make_a2c was built with jit=False (train_step is jitted through
+    # shard_map above); the single-episode eval paths still want jit
+    return ParallelA2C(
+        init_state=init_state, train_step=train_step,
+        eval_episode=jax.jit(fns.eval_episode, static_argnums=(2, 3)),
+        record_episode=jax.jit(fns.record_episode, static_argnums=(2, 3)),
+        fns=fns, mesh=mesh)

@@ -37,3 +37,28 @@ class CheckpointManager:
             return None
         return self.mngr.restore(
             step, args=ocp.args.StandardRestore(train_state_like))
+
+    def restore_params(self, params_like: Any,
+                       step: Optional[int] = None) -> Any:
+        """Restore ONLY the policy params, regardless of how the rest of
+        the TrainState was shaped at save time (a checkpoint written by a
+        data-parallel run carries a global env batch; evaluation needs
+        none of it). Reads the raw stored tree and rebuilds the params
+        NamedTuple structure by field name."""
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None
+        raw = self.mngr.restore(step)   # nested dicts of host arrays
+        raw_params = raw["params"]
+
+        def pick(like, node):
+            if like is None:
+                return None
+            if hasattr(like, "_fields"):      # NamedTuple
+                return type(like)(*[pick(getattr(like, f), node[f])
+                                    for f in like._fields])
+            if isinstance(like, dict):
+                return {k: pick(v, node[k]) for k, v in like.items()}
+            return jax.numpy.asarray(node)
+
+        return pick(params_like, raw_params)

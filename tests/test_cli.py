@@ -86,3 +86,19 @@ def test_train_no_test_mode_skips_test_log(tiny_ini, tmp_path_factory):
     main(["--base-dir", base, "train", "--config-dir", tiny_ini])
     assert os.path.exists(os.path.join(base, "data", "train_log.csv"))
     assert not os.path.exists(os.path.join(base, "data", "test_log.csv"))
+
+
+def test_train_restore_resumes(tiny_ini, tmp_path_factory):
+    """--restore continues from the latest checkpoint (here: through the
+    auto-data-parallel path, since tests force an 8-device mesh)."""
+    import csv
+    from deeprl_network_tpu.main import main
+    base = str(tmp_path_factory.mktemp("run_restore"))
+    main(["--base-dir", base, "train", "--config-dir", tiny_ini])
+    with open(os.path.join(base, "data", "train_log.csv")) as f:
+        steps_before = [float(r["step"]) for r in csv.DictReader(f)]
+    main(["--base-dir", base, "train", "--config-dir", tiny_ini,
+          "--restore"])
+    with open(os.path.join(base, "data", "train_log.csv")) as f:
+        steps_after = [float(r["step"]) for r in csv.DictReader(f)]
+    assert len(steps_after) >= len(steps_before)
