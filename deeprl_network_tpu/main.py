@@ -86,15 +86,17 @@ def train(args) -> None:
     save_config(config, os.path.join(dirs["data"],
                                      os.path.basename(args.config_dir)))
     env = init_env(config)
-    n_dev = jax.local_device_count()
+    n_dev = jax.device_count()
     if n_dev > 1 and not getattr(args, "single_device", False):
         # shard the env batch over the device mesh (config num_envs is
-        # the GLOBAL batch), params replicated, grads reduced over ICI
+        # the GLOBAL batch and must divide by the mesh size), params
+        # replicated, grads reduced over ICI
         from deeprl_network_tpu.parallel.train import make_parallel_a2c
         fns = make_parallel_a2c(env, config.model, config.train,
                                 agent=config.agent)
         log.info("data-parallel over %d devices (%d envs/device)",
-                 n_dev, max(config.model.num_envs // n_dev, 1))
+                 fns.mesh.devices.size,
+                 config.model.num_envs // fns.mesh.devices.size)
     else:
         fns = init_agent(env, config)
     log.info("agent=%s scenario=%s n_agent=%d devices=%s",
@@ -109,6 +111,8 @@ def evaluate(args) -> None:
     if args.agents:
         import copy
         for name in args.agents.split(","):
+            if not name.strip():
+                continue
             sub_args = copy.copy(args)
             sub_args.agents = None
             sub_args.base_dir = os.path.join(args.base_dir, name.strip())
@@ -132,11 +136,12 @@ def evaluate(args) -> None:
         Evaluator(fns, out_dir, seeds=seeds, demo=args.demo,
                   policy="controller").run(None)
         return
-    trainer = Trainer(fns, config, args.base_dir, seed=config.env.seed)
+    from deeprl_network_tpu.utils.checkpoint import CheckpointManager
     ts = fns.init_state(jax.random.key(config.env.seed))
     # params-only restore: works on checkpoints from single-device AND
     # data-parallel runs (whose env-batch shapes differ from this ts)
-    params = trainer.ckpt.restore_params(ts.params)
+    ckpt = CheckpointManager(os.path.join(args.base_dir, "model"))
+    params = ckpt.restore_params(ts.params)
     if params is None:
         raise FileNotFoundError("no checkpoint found under base-dir/model")
     Evaluator(fns, out_dir, seeds=seeds, demo=args.demo).run(params)

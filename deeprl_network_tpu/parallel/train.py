@@ -79,9 +79,17 @@ def make_parallel_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig,
     envs_per_device * mesh size."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-    per_dev = envs_per_device or max(mcfg.num_envs // n_dev, 1)
+    if envs_per_device is None:
+        if mcfg.num_envs % n_dev != 0:
+            raise ValueError(
+                f"num_envs={mcfg.num_envs} (the GLOBAL env batch) must be "
+                f"divisible by the mesh size {n_dev}; pick a multiple or "
+                f"pass envs_per_device explicitly")
+        per_dev = mcfg.num_envs // n_dev
+    else:
+        per_dev = envs_per_device
     fns = make_a2c(env, mcfg, tcfg, agent=agent, num_envs=per_dev,
-                   axis_name=DATA_AXIS, jit=False)
+                   axis_name=DATA_AXIS, n_replicas=n_dev, jit=False)
 
     # shapes for spec construction (abstract eval only, no compute)
     ts_shape = jax.eval_shape(

@@ -89,11 +89,13 @@ class A2CFns(NamedTuple):
 
 def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
              num_envs: Optional[int] = None, axis_name: Optional[str] = None,
-             jit: bool = True) -> A2CFns:
+             n_replicas: int = 1, jit: bool = True) -> A2CFns:
     """Build the fused A2C functions for one env family + algorithm.
 
-    ``axis_name``: if set, gradients/metrics are pmean'd over that mesh
-    axis (the function must then be called inside shard_map/pmap).
+    ``axis_name``: if set, gradients/metrics are reduced over that mesh
+    axis (the function must then be called inside shard_map/pmap), and
+    ``n_replicas`` must give the mesh-axis size so step counting and the
+    lr/entropy schedules advance by GLOBAL env steps.
     """
     wenv = AutoResetEnv(env)
     spec = make_policy_spec(env.spec, mcfg, agent)
@@ -109,8 +111,9 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
     consensus = agent == "ia2c_cu"
     D = env.spec.spatial_discount()
     gamma = mcfg.gamma
-    # one optimizer update consumes T steps x B envs (x replicas)
-    steps_per_update = T * n_env
+    # one optimizer update consumes T steps x B envs x replicas GLOBAL
+    # env steps — schedules are defined over global steps (total_step)
+    steps_per_update = T * n_env * n_replicas
     lr_env_sched = make_schedule(mcfg.lr_decay, mcfg.lr_init,
                                  tcfg.total_step, mcfg.lr_min)
     ent_sched = make_schedule(mcfg.entropy_decay, mcfg.entropy_coef,
@@ -173,28 +176,45 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         ks = jax.vmap(jax.random.split)(keys)          # [B, 2, 2]
         return ks[:, 0], ks[:, 1]
 
-    def rollout_body(carry_in, _):
-        (params, env_state, obs, fp, lcarry, prev_done, key,
-         ep_ret, ep_len, last_ret, last_len) = carry_in
+    def _env_policy_step(mparams, state, sg=None):
+        """The ONE rollout step both gradient paths share: policy forward,
+        per-env action sampling, env step + auto-reset, fingerprint
+        refresh, episode bookkeeping. ``sg`` (stop_gradient) marks the
+        quantities the fused path treats as recorded constants; None for
+        the no-gradient replay rollout."""
+        (env_state, obs, fp, lcarry, prev_done, key,
+         ep_ret, ep_len, last_ret, last_len) = state
         key, k_act = _split_env_keys(key)
-        lcarry2, logits, values = vpstep(params, lcarry, obs, fp, prev_done)
+        lcarry2, logits, values = vpstep(mparams, lcarry, obs, fp,
+                                         prev_done)
         actions = jax.vmap(jax.random.categorical)(k_act, logits)  # [B, N]
         new_fp = jax.nn.softmax(logits, axis=-1)
         env_state2, obs2, reward, done, info = jax.vmap(wenv.step)(
             env_state, actions)
+        if sg is not None:
+            new_fp, obs2, reward = sg(new_fp), sg(obs2), sg(reward)
         done_f = done.astype(jnp.float32)
         # fingerprints reset to uniform on episode start
         new_fp = jnp.where(done_f[:, None, None], uniform_fp[None], new_fp)
-        g_reward = reward.sum(-1)                               # [B]
-        ep_ret2 = ep_ret + g_reward
+        ep_ret2 = ep_ret + reward.sum(-1)
         ep_len2 = ep_len + 1.0
-        last_ret = jnp.where(done_f > 0, ep_ret2, last_ret)
-        last_len = jnp.where(done_f > 0, ep_len2, last_len)
+        last_ret2 = jnp.where(done_f > 0, ep_ret2, last_ret)
+        last_len2 = jnp.where(done_f > 0, ep_len2, last_len)
         ep_ret2 = ep_ret2 * (1.0 - done_f)
         ep_len2 = ep_len2 * (1.0 - done_f)
-        out = (obs, fp, prev_done, actions, reward, values, done_f, info)
-        return ((params, env_state2, obs2, new_fp, lcarry2, done_f, key,
-                 ep_ret2, ep_len2, last_ret, last_len), out)
+        new_state = (env_state2, obs2, new_fp, lcarry2, done_f, key,
+                     ep_ret2, ep_len2, last_ret2, last_len2)
+        rec = {"obs": obs, "fp": fp, "prev_done": prev_done,
+               "actions": actions, "logits": logits, "values": values,
+               "reward": reward, "done_f": done_f, "info": info}
+        return new_state, rec
+
+    def rollout_body(carry_in, _):
+        params, state = carry_in[0], carry_in[1:]
+        new_state, r = _env_policy_step(params, state)
+        out = (r["obs"], r["fp"], r["prev_done"], r["actions"],
+               r["reward"], r["values"], r["done_f"], r["info"])
+        return (params,) + new_state, out
 
     def _returns_pipeline(rew_seq, done_seq, v_boot):
         """normalize -> spatial mix -> n-step returns ([T, B, N] in/out)."""
@@ -266,30 +286,11 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
             sg = jax.lax.stop_gradient
 
             def body(carry_in, _):
-                (env_state, obs, fp, lcarry, prev_done, key,
-                 ep_ret, ep_len, last_ret, last_len) = carry_in
-                key, k_act = _split_env_keys(key)
-                lcarry2, logits, values = vpstep(mparams, lcarry, obs, fp,
-                                                 prev_done)
-                actions = jax.vmap(jax.random.categorical)(k_act, logits)
-                new_fp = sg(jax.nn.softmax(logits, axis=-1))
-                env_state2, obs2, reward, done, info = jax.vmap(wenv.step)(
-                    env_state, actions)
-                obs2, reward = sg(obs2), sg(reward)
-                done_f = done.astype(jnp.float32)
-                new_fp = jnp.where(done_f[:, None, None], uniform_fp[None],
-                                   new_fp)
-                g_reward = reward.sum(-1)
-                ep_ret2 = ep_ret + g_reward
-                ep_len2 = ep_len + 1.0
-                last_ret2 = jnp.where(done_f > 0, ep_ret2, last_ret)
-                last_len2 = jnp.where(done_f > 0, ep_len2, last_len)
-                ep_ret2 = ep_ret2 * (1.0 - done_f)
-                ep_len2 = ep_len2 * (1.0 - done_f)
-                logp_a, entropy = action_stats(logits, actions)
-                out = (logp_a, entropy, values, reward, done_f, info)
-                return ((env_state2, obs2, new_fp, lcarry2, done_f, key,
-                         ep_ret2, ep_len2, last_ret2, last_len2), out)
+                new_state, r = _env_policy_step(mparams, carry_in, sg=sg)
+                logp_a, entropy = action_stats(r["logits"], r["actions"])
+                out = (logp_a, entropy, r["values"], r["reward"],
+                       r["done_f"], r["info"])
+                return new_state, out
 
             if mcfg.remat:
                 body = jax.checkpoint(body)
@@ -347,13 +348,10 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         if consensus:
             params = consensus_update(params, env.spec.neighbor_mask)
 
-        n_rep = 1
-        if axis_name is not None:
-            n_rep = jax.lax.psum(1, axis_name)
         new_ts = TrainState(
             params=params, opt_state=opt_state, env_state=env_state,
             obs=obs_f, fp=fp_f, carry=lcarry_f, prev_done=done_f, key=key,
-            step=ts.step + steps_per_update * n_rep,
+            step=ts.step + steps_per_update,
             ep_ret=ep_ret, ep_len=ep_len,
             last_ep_ret=last_ret, last_ep_len=last_len)
         metrics = {

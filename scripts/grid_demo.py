@@ -84,7 +84,7 @@ def main():
     # exact number of updates; a multiple would sample the same episode
     # phase every log and misrepresent steady-state queues)
     ep_updates = max(env.episode_steps // mcfg.batch_size, 1)
-    while log_every > 1 and log_every % ep_updates == 0:
+    while ep_updates > 1 and log_every > 1 and log_every % ep_updates == 0:
         log_every += 1
     i = 0
     t0 = time.time()

@@ -49,7 +49,7 @@ def tiny_ini(tmp_path_factory):
                         "test_seeds": "2000,2500"}
     cp["MODEL_CONFIG"] = {"agent": "ia2c", "batch_size": "8",
                           "num_fc": "16", "num_lstm": "16",
-                          "num_envs": "4", "reward_norm": "1000"}
+                          "num_envs": "8", "reward_norm": "1000"}
     cp["TRAIN_CONFIG"] = {"total_step": "640", "test_interval": "320",
                           "log_interval": "160"}
     with open(p, "w") as f:
@@ -89,16 +89,31 @@ def test_train_no_test_mode_skips_test_log(tiny_ini, tmp_path_factory):
 
 
 def test_train_restore_resumes(tiny_ini, tmp_path_factory):
-    """--restore continues from the latest checkpoint (here: through the
+    """--restore continues from the latest checkpoint with remaining
+    budget and actually performs new updates (here: through the
     auto-data-parallel path, since tests force an 8-device mesh)."""
+    import configparser
     import csv
     from deeprl_network_tpu.main import main
     base = str(tmp_path_factory.mktemp("run_restore"))
     main(["--base-dir", base, "train", "--config-dir", tiny_ini])
     with open(os.path.join(base, "data", "train_log.csv")) as f:
         steps_before = [float(r["step"]) for r in csv.DictReader(f)]
-    main(["--base-dir", base, "train", "--config-dir", tiny_ini,
+    # same config with a doubled budget: the restored run must pick up
+    # at the checkpointed step and train on to the new total
+    cp = configparser.ConfigParser()
+    cp.read(tiny_ini)
+    cp["TRAIN_CONFIG"]["total_step"] = str(
+        2 * int(cp["TRAIN_CONFIG"]["total_step"]))
+    bigger = os.path.join(os.path.dirname(tiny_ini), "bigger.ini")
+    with open(bigger, "w") as f:
+        cp.write(f)
+    main(["--base-dir", base, "train", "--config-dir", bigger,
           "--restore"])
     with open(os.path.join(base, "data", "train_log.csv")) as f:
         steps_after = [float(r["step"]) for r in csv.DictReader(f)]
-    assert len(steps_after) >= len(steps_before)
+    assert len(steps_after) > len(steps_before)
+    assert max(steps_after) > max(steps_before)
+    # resumed, not restarted: the new rows continue past the checkpoint
+    assert min(s for s in steps_after
+               if s not in steps_before) > max(steps_before)

@@ -20,6 +20,8 @@ def test_metric_writer_csv_jsonl(tmp_path):
 
 
 def test_metric_writer_tensorboard_mirror(tmp_path):
+    import pytest
+    pytest.importorskip("torch.utils.tensorboard")
     tb = tmp_path / "tb"
     w = MetricWriter(str(tmp_path), "train_log", tb_dir=str(tb))
     w.write({"step": 10, "loss": 1.5, "episode_return": -3.0})
