@@ -163,6 +163,12 @@ class CACCEnv(Env):
         return {"headway": s.h, "velocity": s.v, "accel": s.u,
                 "v_lead": s.v_lead}
 
+    def greedy_action(self, s: CACCState) -> jax.Array:
+        """Naive baseline controller (CLI evaluate --naive): every vehicle
+        runs the full-gain OVM law (alpha, beta) = (0.5, 0.5) — classical
+        non-learned adaptive cruise control under this action table."""
+        return jnp.full((self.n_agent,), 3, jnp.int32)
+
     def step(self, s: CACCState, action: jax.Array
              ) -> Tuple[CACCState, jax.Array, jax.Array, jax.Array,
                         Dict[str, jax.Array]]:

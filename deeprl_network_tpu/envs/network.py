@@ -96,12 +96,23 @@ class TrafficNetworkEnv(Env):
             n_agent=M, n_s_ls=n_s_ls, n_a_ls=n_a_ls,
             neighbor_mask=topo.node_adj.astype(np.float32),
             distance_mask=dist, coop_gamma=cfg.coop_gamma)
-        # lane gather [M, max_lanes]: -1 padded -> gathers lane 0, masked
-        gather = np.zeros((M, max_lanes), np.int64)
-        gmask = np.zeros((M, max_lanes), np.float32)
+        # obs gather [M, n_s_max] into the concatenated feature vector
+        # (wave [L] or wave;wait [2L]): each node's features are PACKED
+        # left-aligned — [wave_0..wave_{k-1}, wait_0..wait_{k-1}, 0 pad] —
+        # so the first n_s_ls[i] dims are exactly node i's valid features
+        # (heterogeneous Monaco nodes included). Padded slots gather
+        # index 0 and are zero-masked.
+        width = max_lanes * (2 if self._use_wait else 1)
+        gather = np.zeros((M, width), np.int64)
+        gmask = np.zeros((M, width), np.float32)
+        L = topo.n_lane
         for m, ls in enumerate(topo.node_lanes):
-            gather[m, :len(ls)] = ls
-            gmask[m, :len(ls)] = 1.0
+            k = len(ls)
+            gather[m, :k] = ls
+            gmask[m, :k] = 1.0
+            if self._use_wait:
+                gather[m, k:2 * k] = [L + l for l in ls]
+                gmask[m, k:2 * k] = 1.0
         self._gather = gather
         self._gmask = gmask
         self._node_lane_mask = np.zeros((M, topo.n_lane), np.float32)
@@ -127,15 +138,14 @@ class TrafficNetworkEnv(Env):
 
     def _obs(self, s: NetworkState) -> jax.Array:
         c = self.cfg
-        wave = jnp.clip(s.queue / c.norm_wave, 0.0, c.clip_wave)
-        g = jnp.asarray(self._gather)
-        gm = jnp.asarray(self._gmask)
-        ob = wave[g] * gm                                  # [M, max_lanes]
+        feats = jnp.clip(s.queue / c.norm_wave, 0.0, c.clip_wave)
         if self._use_wait:
             wt = jnp.clip(s.wait / c.norm_wait, 0.0, c.clip_wait)
-            ob = jnp.concatenate([ob, wt[g] * gm], axis=-1)
-        # pack per-agent: valid dims are the first n_s_ls[i] of each row
-        return ob.astype(jnp.float32)
+            feats = jnp.concatenate([feats, wt])           # [2L]
+        g = jnp.asarray(self._gather)
+        gm = jnp.asarray(self._gmask)
+        # packed per-agent: valid dims are the first n_s_ls[i] of each row
+        return (feats[g] * gm).astype(jnp.float32)
 
     def step(self, s: NetworkState, action: jax.Array
              ) -> Tuple[NetworkState, jax.Array, jax.Array, jax.Array,
@@ -176,11 +186,18 @@ class TrafficNetworkEnv(Env):
             arrivals = route.T @ dq
             inflow = demand_t * entry
             q2 = q + arrivals - dq
+            # cross-upstream overshoot: each upstream lane's discharge was
+            # granted against the SAME downstream free space (space is a
+            # per-lane expectation, not a shared budget), so combined
+            # arrivals can exceed capacity — count the clamped vehicles
+            # in `dropped` instead of destroying them silently
+            overflow = jnp.maximum(q2 - cap, 0.0)
+            q2 = q2 - overflow
             # entry demand blocked when lane full
             free = jnp.maximum(cap - q2, 0.0)
             accepted = jnp.minimum(inflow, free)
-            q2 = jnp.minimum(q2 + accepted, cap)
-            dropped = dropped + jnp.sum(inflow - accepted)
+            q2 = q2 + accepted
+            dropped = dropped + jnp.sum(inflow - accepted) + jnp.sum(overflow)
             served = (dq > 1e-4).astype(jnp.float32)
             w2 = (w + 1.0) * (q2 > 0.1).astype(jnp.float32) * (1.0 - served)
             return (q2, w2, dropped), jnp.sum(dq)

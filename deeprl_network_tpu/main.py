@@ -149,6 +149,10 @@ def evaluate(args) -> None:
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host: wire the hosts into one jax runtime BEFORE any device
+    # use (no-op unless pod-slice env vars / explicit args are present)
+    from deeprl_network_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
     if args.option == "train":
         train(args)
     else:

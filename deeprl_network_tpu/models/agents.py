@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from deeprl_network_tpu.config import ModelConfig
 from deeprl_network_tpu.models.a2c import (
@@ -71,9 +72,12 @@ class _BaseAgent:
         self.key = jax.random.key(seed)
         self.key, k = jax.random.split(self.key)
         self.params = init_policy_params(k, self.spec)
+        # optax calls the schedule with the UPDATE count; one backward()
+        # consumes n_step env steps, so convert (as rollout.make_a2c does)
+        _lr_env = make_schedule(mcfg.lr_decay, mcfg.lr_init, total_step,
+                                mcfg.lr_min)
         self.optimizer = tf1_rmsprop(
-            make_schedule(mcfg.lr_decay, mcfg.lr_init, total_step,
-                          mcfg.lr_min),
+            lambda count: _lr_env(count * mcfg.n_step),
             decay=mcfg.rmsp_alpha, eps=mcfg.rmsp_epsilon,
             max_grad_norm=mcfg.max_grad_norm)
         self.opt_state = self.optimizer.init(self.params)
@@ -173,7 +177,7 @@ class _BaseAgent:
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda a, b: a + b, params, updates)
+        params = optax.apply_updates(params, updates)
         if self.agent_name == "ia2c_cu":
             params = consensus_update(params, self.neighbor_mask)
         return params, opt_state, stats

@@ -371,10 +371,12 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         return new_ts, metrics
 
     def eval_episode(params: PolicyParams, key: jax.Array,
-                     max_steps: Optional[int] = None, greedy: bool = True
+                     max_steps: Optional[int] = None, greedy: bool = False
                      ) -> Dict[str, jax.Array]:
         """One evaluation episode on a single env instance (reference
-        Trainer.perform / Evaluator.run)."""
+        Trainer.perform / Evaluator.run). Default is SAMPLED actions —
+        the reference's evaluation protocol; argmax is much worse for
+        these stochastic-mixing controllers (CLAUDE.md)."""
         horizon = max_steps or _default_horizon(env)
         params = mask_comm_params(spec, params)
         k_env, k_run = jax.random.split(key)
@@ -396,18 +398,25 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
             alive2 = alive * (1.0 - done.astype(jnp.float32))
             return ((state2, obs2, new_fp, carry, jnp.zeros(()), key,
                      ep_ret, alive2),
-                    {"reward": reward.sum() * alive, **{
+                    {"reward": reward.sum() * alive, "alive": alive, **{
                         k: v * alive for k, v in info.items()}})
 
         c0 = (state, obs, fp, carry, jnp.zeros(()), k_run,
               jnp.zeros(()), jnp.ones(()))
         cf, seq = jax.lax.scan(body, c0, None, length=horizon)
         ep_ret = cf[6]
+        # average over EXECUTED steps: an early-terminating episode must
+        # not have its per-step metrics diluted by the unexecuted tail
+        ep_len = jnp.maximum(jnp.sum(seq["alive"]), 1.0)
         out = {"episode_return": ep_ret,
-               "avg_step_reward": ep_ret / horizon}
+               "episode_len": jnp.sum(seq["alive"]),
+               "avg_step_reward": ep_ret / ep_len}
         for k, v in seq.items():
-            if k != "reward":
-                out["env/" + k] = jnp.mean(v)
+            if k not in ("reward", "alive"):
+                # per-step mean over any agent axes, then weighted by
+                # executed steps only
+                per_step = v.reshape(v.shape[0], -1).mean(-1)
+                out["env/" + k] = jnp.sum(per_step) / ep_len
         return out
 
     def record_episode(params: Optional[PolicyParams], key: jax.Array,

@@ -40,6 +40,15 @@ class Counter:
         self.cur_step += n
         return self.cur_step
 
+    def fast_forward(self, step: int) -> None:
+        """Jump to ``step`` (checkpoint restore) and ratchet the log/test
+        thresholds past it — otherwise every post-resume update would
+        fire should_log/should_test until the one-interval-per-call
+        advance catches up."""
+        self.cur_step = step
+        self._next_test = (step // self.test_step + 1) * self.test_step
+        self._next_log = (step // self.log_step + 1) * self.log_step
+
     def should_test(self) -> bool:
         if self.cur_step >= self._next_test:
             self._next_test += self.test_step
@@ -84,6 +93,10 @@ class Trainer:
                                         tb_dir=self.dirs["log"])
         self.ckpt = CheckpointManager(self.dirs["model"])
         self.seed = seed
+        # multi-host: only process 0 writes metrics/logs/evals; orbax
+        # checkpoint saves still run on every process (see run())
+        from deeprl_network_tpu.parallel.distributed import is_primary
+        self.primary = is_primary()
 
     def run(self, restore: bool = False) -> TrainState:
         ts = self.fns.init_state(jax.random.key(self.seed))
@@ -91,7 +104,7 @@ class Trainer:
             restored = self.ckpt.restore(ts)
             if restored is not None:
                 ts = restored
-                self.counter.cur_step = int(ts.step)
+                self.counter.fast_forward(int(ts.step))
                 log.info("restored checkpoint at step %d", self.counter.cur_step)
         if self.profile:
             # device trace of a few steady-state updates (SURVEY.md
@@ -119,16 +132,20 @@ class Trainer:
                 sps = (self.counter.cur_step - last_step) / max(
                     now - last_t, 1e-9)
                 last_step, last_t = self.counter.cur_step, now
-                row = {"step": self.counter.cur_step,
-                       "wall_s": now - t0, "env_steps_per_s": sps, **m}
-                self.train_writer.write(row)
-                log.info(
-                    "step %d | R_ep %.1f | loss %.3f | sps %.0f",
-                    self.counter.cur_step, m.get("episode_return", 0.0),
-                    m["loss"], sps)
+                if self.primary:
+                    row = {"step": self.counter.cur_step,
+                           "wall_s": now - t0, "env_steps_per_s": sps, **m}
+                    self.train_writer.write(row)
+                    log.info(
+                        "step %d | R_ep %.1f | loss %.3f | sps %.0f",
+                        self.counter.cur_step, m.get("episode_return", 0.0),
+                        m["loss"], sps)
                 window_metrics = []
+                # checkpoint save must run on EVERY process (orbax
+                # coordinates sharded-array writes across hosts)
                 self.ckpt.save(self.counter.cur_step, ts)
-            if self.counter.should_test() and self.in_train_test:
+            if (self.counter.should_test() and self.in_train_test
+                    and self.primary):
                 self.test(ts)
         self.ckpt.save(self.counter.cur_step, ts)
         return ts
@@ -162,7 +179,13 @@ class Evaluator:
         self.writer = MetricWriter(output_dir, "eval_log")
         self.seeds = seeds
         self.policy = policy
-        self.record = record
+        # reference --demo replays the episode in the SUMO GUI; the
+        # in-XLA engine has no GUI, so demo guarantees the full per-step
+        # series csvs are written for offline replay/plotting instead
+        self.record = record or demo
+        if demo:
+            log.info("--demo: no GUI in the in-XLA engine; writing full "
+                     "per-step series csvs for offline replay")
 
     def run(self, params) -> Dict[str, float]:
         import csv

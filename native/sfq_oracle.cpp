@@ -132,11 +132,15 @@ void sfq_rollout(
       }
       for (int l = 0; l < L; ++l) {
         float q2 = queue[l] + arrivals[l] - dq[l];
+        // cross-upstream overshoot past capacity is counted in dropped
+        // (mirrors envs/network.py substep exactly)
+        float overflow = std::max(q2 - cap, 0.0f);
+        q2 -= overflow;
         float inflow = demand_t[l] * entry[l];
         float free = std::max(cap - q2, 0.0f);
         float accepted = std::min(inflow, free);
-        q2 = std::min(q2 + accepted, cap);
-        dropped += inflow - accepted;
+        q2 = q2 + accepted;
+        dropped += inflow - accepted + overflow;
         float served = dq[l] > 1e-4f ? 1.0f : 0.0f;
         float nonempty = q2 > 0.1f ? 1.0f : 0.0f;
         wait[l] = (wait[l] + 1.0f) * nonempty * (1.0f - served);

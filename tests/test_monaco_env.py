@@ -77,3 +77,29 @@ def test_train_step_on_monaco():
     ts = fns.init_state(jax.random.key(0))
     ts, metrics = fns.train_step(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_hybrid_obs_packed_per_node():
+    """Under objective=hybrid the per-node obs must be PACKED —
+    [wave_0..wave_{k-1}, wait_0..wait_{k-1}, 0 pad] — so the first
+    n_s_ls[i] dims are node i's valid features (the obs_mask/n_s_ls
+    contract for heterogeneous nodes)."""
+    env = RealNetEnv(EnvConfig(scenario="real_net", coop_gamma=0.9,
+                               objective="hybrid", seed=3))
+    s, obs = env.reset(jax.random.key(0))
+    # drive a few steps to get nonzero queues/waits
+    for _ in range(5):
+        s, obs, r, d, info = env.step(s, env.greedy_action(s))
+    obs = np.asarray(obs)
+    q = np.asarray(s.queue)
+    w = np.asarray(s.wait)
+    c = env.cfg
+    for i, lanes in enumerate(env.topo.node_lanes):
+        k = len(lanes)
+        want_wave = np.clip(q[lanes] / c.norm_wave, 0, c.clip_wave)
+        want_wait = np.clip(w[lanes] / c.norm_wait, 0, c.clip_wait)
+        np.testing.assert_allclose(obs[i, :k], want_wave, rtol=1e-6)
+        np.testing.assert_allclose(obs[i, k:2 * k], want_wait, rtol=1e-6)
+        assert env.spec.n_s_ls[i] == 2 * k
+        # everything past the valid span is zero padding
+        np.testing.assert_allclose(obs[i, 2 * k:], 0.0)
