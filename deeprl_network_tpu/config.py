@@ -59,6 +59,12 @@ class ModelConfig:
     batch_size: int = 120  # n_step rollout length T
     reward_norm: float = 2000.0
     reward_clip: float = 2.0
+    neighbor_obs: bool = False  # alpha-scaled neighbor observations in
+                                # the policy input (reference atsc_env.py
+                                # _get_state ~L340: MA2C variants see
+                                # neighbor obs scaled by coop_gamma;
+                                # SURVEY 2.2 item 6 [M]). Off by default;
+                                # A/B measured in results/README.md.
     # TPU-native additions (no reference equivalent):
     num_envs: int = 1           # B parallel env instances per replica
     remat: bool = False         # rematerialize BPTT activations: ~10x less
@@ -161,6 +167,16 @@ class EnvConfig:
     sat_flow: float = 0.5            # veh/s saturation discharge per lane
     lane_capacity: float = 40.0      # veh per movement-queue
     demand_scale: float = 1.0
+    link_delay_sec: int = 10         # seconds to traverse a link before
+                                     # joining the downstream stop-line
+                                     # queue (SUMO ~200m links at ~20 m/s;
+                                     # grid uses it uniformly, Monaco
+                                     # scales it by edge length). >= 1.
+    network_data: str = ""           # optional JSON graph file for the
+                                     # real_net scenario (real OSM data
+                                     # drop-in; see monaco.py
+                                     # load_network_data). Default:
+                                     # synthetic deterministic graph.
 
     @property
     def episode_steps_atsc(self) -> int:

@@ -119,12 +119,16 @@ def build_grid_topology(cfg: EnvConfig, size: int = 5) -> NetworkTopology:
 
     node_lanes = [[lane_id[(n, d, mv)] for d in DIRS for mv in range(3)]
                   for n in range(M)]
+    # uniform link travel time: the grid's SUMO links are equal-length
+    # (reference build_file.py lattice), so every approach — boundary
+    # entries included — takes cfg.link_delay_sec to traverse
+    lane_delay = np.full((L,), max(int(cfg.link_delay_sec), 1), np.int32)
     return NetworkTopology(
         n_node=M,
         lane_node=np.array([n for (n, _, _) in lanes], np.int32),
         phase_gate=phase_gate, phase_valid=phase_valid, route=route,
         entry_lane=entry, demand=demand, node_adj=node_adj,
-        node_lanes=node_lanes)
+        node_lanes=node_lanes, lane_delay=lane_delay)
 
 
 def build_grid_demand(cfg: EnvConfig, lanes, entry_side) -> np.ndarray:

@@ -57,17 +57,51 @@ ENTRY_NODES = [0, 6, 13, 20, 25, 27, 2, 4]
 EXT = -1  # virtual exterior neighbor id
 
 
+def load_network_data(path: str):
+    """External network-data loader (reference envs/real_net_data/): a
+    JSON file with the real OSM-derived graph can be dropped in if it
+    becomes available, replacing the synthetic default. Schema:
+
+        {"nodes":  [{"x": 0.0, "y": 0.0}, ...],     # planar coordinates
+         "edges":  [[0, 1], ...],                   # undirected links
+         "entry_nodes": [0, 6, ...],                # boundary demand/exit
+         "phases": {"3": [[0], [1, 4]], ...}}       # OPTIONAL: per-node
+                                                    # approach-group lists
+                                                    # (by neighbor id;
+                                                    # default: derived)
+
+    Returns (node_xy [M,2] float, edges list, entry_nodes list,
+    phases dict[int -> list[list[int]]] or {}).
+    """
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    node_xy = np.array([(n["x"], n["y"]) for n in d["nodes"]], np.float64)
+    edges = [tuple(int(x) for x in e) for e in d["edges"]]
+    entry_nodes = [int(n) for n in d["entry_nodes"]]
+    phases = {int(k): [[int(f) for f in ph] for ph in v]
+              for k, v in d.get("phases", {}).items()}
+    return node_xy, edges, entry_nodes, phases
+
+
 def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
-    M = len(NODE_XY)
+    phase_override = {}
+    if getattr(cfg, "network_data", ""):
+        node_xy, edges, entry_nodes, phase_override = load_network_data(
+            cfg.network_data)
+    else:
+        node_xy, edges, entry_nodes = NODE_XY, EDGES, ENTRY_NODES
+    M = len(node_xy)
     nbrs: List[List[int]] = [[] for _ in range(M)]
-    for a, b in EDGES:
+    for a, b in edges:
         nbrs[a].append(b)
         nbrs[b].append(a)
     for i in range(M):
         nbrs[i] = sorted(nbrs[i])
 
     node_adj = np.zeros((M, M), np.float32)
-    for a, b in EDGES:
+    for a, b in edges:
         node_adj[a, b] = node_adj[b, a] = 1.0
 
     # approaches: (node, from) where from in nbrs[node] (+ EXT at entries)
@@ -77,11 +111,11 @@ def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
     lanes: List[Tuple[int, int, int]] = []
     approaches: List[List[int]] = [[] for _ in range(M)]  # list of 'from'
     for n in range(M):
-        froms = list(nbrs[n]) + ([EXT] if n in ENTRY_NODES else [])
+        froms = list(nbrs[n]) + ([EXT] if n in entry_nodes else [])
         approaches[n] = froms
         for f in froms:
             tos = [t for t in nbrs[n] if t != f]
-            if n in ENTRY_NODES and f != EXT:
+            if n in entry_nodes and f != EXT:
                 tos.append(EXT)  # exit movement at boundary nodes
             for t in tos:
                 lane_id[(n, f, t)] = len(lanes)
@@ -96,7 +130,7 @@ def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
             continue
         dests = [(t, n, t2) for t2 in
                  ([x for x in nbrs[t] if x != n]
-                  + ([EXT] if t in ENTRY_NODES else []))]
+                  + ([EXT] if t in entry_nodes else []))]
         dests = [d for d in dests if d in lane_id]
         if not dests:
             continue
@@ -106,9 +140,14 @@ def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
 
     # phases: per node, singles (one approach all-green) plus, for
     # 4-approach nodes, two combined phases pairing far-apart approaches.
+    # Loaded data may override per node with explicit approach groups
+    # (the real RealNetPhase tables, once available).
     phase_sets: List[List[List[int]]] = []  # per node: list of approach-lists
     for n in range(M):
         fr = approaches[n]
+        if n in phase_override:
+            phase_sets.append([list(g) for g in phase_override[n]][:6])
+            continue
         singles = [[f] for f in fr]
         phases = list(singles)
         if len(fr) >= 4:
@@ -140,12 +179,24 @@ def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
 
     node_lanes = [[li for li, (n, f, t) in enumerate(lanes) if n == m]
                   for m in range(M)]
+    # heterogeneous link travel times scaled by planar edge length: a lane
+    # (n, f, t) queues at n fed by the f->n link; cfg.link_delay_sec is
+    # the travel time of a unit-length edge (EXT boundary links use it
+    # directly). Irregular delays are part of the Monaco task structure.
+    base = max(int(cfg.link_delay_sec), 1)
+    lane_delay = np.zeros((L,), np.int32)
+    for li, (n, f, t) in enumerate(lanes):
+        if f == EXT:
+            lane_delay[li] = base
+        else:
+            d = float(np.linalg.norm(node_xy[n] - node_xy[f]))
+            lane_delay[li] = int(np.clip(round(d * base), 1, 3 * base))
     return NetworkTopology(
         n_node=M,
         lane_node=np.array([n for (n, _, _) in lanes], np.int32),
         phase_gate=phase_gate, phase_valid=phase_valid, route=route,
         entry_lane=entry, demand=demand, node_adj=node_adj,
-        node_lanes=node_lanes)
+        node_lanes=node_lanes, lane_delay=lane_delay)
 
 
 def build_monaco_demand(cfg: EnvConfig, lanes, entry_ids) -> np.ndarray:

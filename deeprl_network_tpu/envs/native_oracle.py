@@ -59,9 +59,11 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,       # L, M, P
         _f32p, _i32p, _f32p, _f32p, _f32p, ctypes.c_int,  # gate..demand,Td
         _f32p,                                          # node_lane_mask
+        _i32p, ctypes.c_int,                            # lane_delay, D
         ctypes.c_float, ctypes.c_float,                 # cap, sat_flow
         ctypes.c_int, ctypes.c_int, ctypes.c_int,       # intervals, steps
-        _f32p, _f32p, _i32p, _i32p, _f32p,              # state in/out
+        _f32p, _f32p, _i32p,                            # queue,transit,head
+        _f32p, _i32p, _i32p, _f32p,                     # wait..dropped
         _i32p, ctypes.c_int,                            # actions, n_steps
         _f32p, _f32p, _f32p, _u8p,                      # outputs
     ]
@@ -93,12 +95,19 @@ class NativeNetworkOracle:
         self._demand = np.ascontiguousarray(topo.demand, np.float32)
         self._node_lane_mask = np.ascontiguousarray(
             env._node_lane_mask, np.float32)
+        delay = (topo.lane_delay if topo.lane_delay is not None
+                 else np.ones(self.L))
+        self._lane_delay = np.ascontiguousarray(
+            np.clip(delay, 1, None), np.int32)
+        self.D = int(self._lane_delay.max())
         self._fn = _load()
         self.reset()
 
     def reset(self, queue0: np.ndarray | None = None) -> None:
         self.queue = (np.zeros(self.L, np.float32) if queue0 is None
                       else np.ascontiguousarray(queue0, np.float32).copy())
+        self.transit = np.zeros((self.D, self.L), np.float32)
+        self.head = np.zeros(1, np.int32)
         self.wait = np.zeros(self.L, np.float32)
         self.prev_phase = np.zeros(self.M, np.int32)
         self.t = np.zeros(1, np.int32)
@@ -117,10 +126,12 @@ class NativeNetworkOracle:
                  self._gate, self._n_valid, self._route, self._entry,
                  self._demand, self._demand.shape[0],
                  self._node_lane_mask,
+                 self._lane_delay, self.D,
                  np.float32(c.lane_capacity), np.float32(c.sat_flow),
                  int(c.control_interval_sec), int(c.yellow_interval_sec),
                  int(self.episode_steps),
-                 self.queue, self.wait, self.prev_phase, self.t,
+                 self.queue, self.transit, self.head,
+                 self.wait, self.prev_phase, self.t,
                  self.dropped,
                  actions, n_steps,
                  node_queue, node_wait, flow, done)
@@ -145,9 +156,18 @@ class NativeNetworkOracle:
         return out["node_queue"][0], out["reward"][0], bool(
             out["done"][0]), info
 
-    def greedy_action(self) -> np.ndarray:
-        """Max-queue-serving valid phase (reference greedy controllers)."""
-        served = np.einsum("mpl,l->mp", self._gate, self.queue)
+    @property
+    def transit_aligned(self) -> np.ndarray:
+        """Ring buffer re-based so row d arrives after d+1 substeps —
+        the JAX NetworkState.transit layout (which shifts instead)."""
+        return np.roll(self.transit, -int(self.head[0]), axis=0)
+
+    def greedy_action(self, on: str = "wave") -> np.ndarray:
+        """Max-demand-serving valid phase (reference greedy controllers);
+        'wave' scores queued + in-transit, 'queue' stop-line queues only
+        (mirrors TrafficNetworkEnv.greedy_action)."""
+        x = self.queue if on == "queue" else self.queue + self.transit.sum(0)
+        served = np.einsum("mpl,l->mp", self._gate, x)
         valid = self.topo.phase_valid > 0
         served = np.where(valid, served, -np.inf)
         return np.argmax(served, axis=-1).astype(np.int32)

@@ -17,18 +17,36 @@ interval, 2 s yellow inserted on phase switches), same reward families
 (queue / wait / hybrid), same neighbor/distance masks — NOT microscopic
 trajectory equality, which died with SUMO by design.
 
-Dynamics model (store-and-forward with expected-space spillback):
-- every movement (approach lane group) is a queue q_l in [0, cap];
-- when its phase is green (and not in the yellow window after a switch) it
-  discharges at saturation flow ``sat_flow`` veh/s, limited by the queue
-  and by expected downstream space sum_l' R[l,l'] max(cap - q_l', 0);
+Dynamics model (store-and-forward with link travel time and expected-space
+spillback):
+- every movement (approach lane group) is a stop-line queue q_l in
+  [0, cap] plus an in-transit ring buffer: vehicles routed onto the link
+  feeding lane l take ``lane_delay[l]`` seconds to traverse it before
+  joining q_l (reference: SUMO vehicles physically take tens of seconds
+  per link — envs/atsc_env.py TrafficSimulator ~L260. Round 1 transferred
+  them instantaneously, which made the myopic greedy controller
+  near-optimal and deleted the anticipation headroom the paper's learned
+  controllers exploit; VERDICT round 1, Missing #1);
+- when a lane's phase is green (and not in the yellow window after a
+  switch) it discharges at saturation flow ``sat_flow`` veh/s, limited by
+  the stop-line queue and by expected downstream space
+  sum_l' R[l,l'] max(cap - occ_l', 0) where occ = queued + in-transit;
 - discharged vehicles are routed by the static turn matrix R[l, l']
-  (rows sum <= 1; the remainder exits the network);
+  (rows sum <= 1; the remainder exits the network) onto the downstream
+  link's transit buffer;
 - external demand arrives at entry lanes from a precomputed per-step
-  schedule (the reference's time-varying peak_flow route patterns);
-  demand that cannot enter a full lane is dropped and counted;
+  schedule (the reference's time-varying peak_flow route patterns),
+  entering the boundary link's transit buffer; demand that cannot enter a
+  full link is dropped and counted;
 - head-vehicle waiting time w_l accumulates every second a non-empty lane
   fails to discharge and resets when it discharges.
+
+Observation ("wave") = ALL vehicles on the incoming lane — queued plus
+in-transit — matching the reference's lane vehicle counts; the queue
+reward counts STOPPED vehicles only (reference halting-number reward).
+The gap between the two is what anticipatory control can exploit: an LSTM
+controller sees platoons approaching ``lane_delay`` seconds before they
+join the queue the reward charges for.
 """
 
 from __future__ import annotations
@@ -61,6 +79,7 @@ class NetworkTopology:
     demand: np.ndarray            # [T_episode, L] veh/s external arrivals
     node_adj: np.ndarray          # [M, M] {0,1}
     node_lanes: List[List[int]]   # per node, ordered incoming lane ids
+    lane_delay: np.ndarray = None  # [L] int link travel seconds (>= 1)
 
     @property
     def n_lane(self) -> int:
@@ -69,7 +88,9 @@ class NetworkTopology:
 
 @struct.dataclass
 class NetworkState:
-    queue: jax.Array       # [L]
+    queue: jax.Array       # [L] stop-line (halted) vehicles
+    transit: jax.Array     # [D, L] in-transit ring buffer; row d joins the
+                           # queue after d+1 more 1-second substeps
     wait: jax.Array        # [L] head-vehicle waiting seconds
     prev_phase: jax.Array  # [M] int32
     t: jax.Array           # [] control-step count int32
@@ -120,6 +141,16 @@ class TrafficNetworkEnv(Env):
             self._node_lane_mask[m, ls] = 1.0
         self.episode_steps = cfg.episode_steps_atsc
         assert topo.demand.shape[0] >= self.episode_steps
+        # link travel time: static per-lane delay -> a one-hot [D, L]
+        # scatter map; pushing routed vehicles onto the transit buffer is
+        # then a broadcast multiply-add (no dynamic scatter inside jit)
+        delay = (topo.lane_delay if topo.lane_delay is not None
+                 else np.ones(topo.n_lane))
+        delay = np.clip(np.asarray(delay, np.int64), 1, None)
+        self.max_delay = int(delay.max())
+        onehot = np.zeros((self.max_delay, topo.n_lane), np.float32)
+        onehot[delay - 1, np.arange(topo.n_lane)] = 1.0
+        self._delay_onehot = onehot
 
     # ---- pure functions ----
 
@@ -130,7 +161,9 @@ class TrafficNetworkEnv(Env):
             q0 = (jax.random.uniform(key, (L,)) * self.cfg.init_density
                   * self.cfg.lane_capacity)
         state = NetworkState(
-            queue=q0, wait=jnp.zeros((L,), jnp.float32),
+            queue=q0,
+            transit=jnp.zeros((self.max_delay, L), jnp.float32),
+            wait=jnp.zeros((L,), jnp.float32),
             prev_phase=jnp.zeros((self.topo.n_node,), jnp.int32),
             t=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
             dropped=jnp.zeros((), jnp.float32))
@@ -138,7 +171,10 @@ class TrafficNetworkEnv(Env):
 
     def _obs(self, s: NetworkState) -> jax.Array:
         c = self.cfg
-        feats = jnp.clip(s.queue / c.norm_wave, 0.0, c.clip_wave)
+        # "wave" = all vehicles on the incoming lane: queued + approaching
+        # (reference lane vehicle-count state, _get_state ~L340)
+        wave = s.queue + s.transit.sum(0)
+        feats = jnp.clip(wave / c.norm_wave, 0.0, c.clip_wave)
         if self._use_wait:
             wt = jnp.clip(s.wait / c.norm_wait, 0.0, c.clip_wait)
             feats = jnp.concatenate([feats, wt])           # [2L]
@@ -173,46 +209,63 @@ class TrafficNetworkEnv(Env):
             jnp.asarray(topo.demand, jnp.float32),
             jnp.minimum(s.t, topo.demand.shape[0] - 1), keepdims=False)
 
+        route_out = route.sum(1)                                # [L]
+        delay_onehot = jnp.asarray(self._delay_onehot)          # [D, L]
+
         def substep(carry, k):
-            q, w, dropped = carry
+            q, transit, w, dropped = carry
+            # vehicles finishing link traversal join the stop-line queue
+            arriving = transit[0]
+            transit = jnp.concatenate(
+                [transit[1:], jnp.zeros_like(transit[:1])])
+            q = q + arriving
+            # arrivals past capacity (space was an expectation shared by
+            # several upstream lanes, not a reserved budget) are counted
+            # in `dropped` rather than destroyed silently
+            overflow = jnp.maximum(q - cap, 0.0)
+            q = q - overflow
             yellow = (k < c.yellow_interval_sec).astype(jnp.float32)
             g = lane_gate * (1.0 - yellow * lane_switch)       # [L]
-            space = route @ jnp.maximum(cap - q, 0.0)
-            route_out = route.sum(1)                            # [L]
+            # downstream space counts queued AND in-transit occupancy
+            occ = q + transit.sum(0)
+            space = route @ jnp.maximum(cap - occ, 0.0)
             # lanes whose flow exits the network are never blocked
             space = jnp.where(route_out > 1e-6,
                               space / jnp.maximum(route_out, 1e-6), cap)
             dq = jnp.minimum(jnp.minimum(q, g * c.sat_flow), space)
-            arrivals = route.T @ dq
+            q2 = q - dq
+            # routed vehicles enter the downstream link and arrive after
+            # lane_delay[l'] substeps (one-hot scatter by static delay)
+            routed = route.T @ dq
+            transit = transit + delay_onehot * routed[None, :]
+            # entry demand enters its boundary link, same travel delay
             inflow = demand_t * entry
-            q2 = q + arrivals - dq
-            # cross-upstream overshoot: each upstream lane's discharge was
-            # granted against the SAME downstream free space (space is a
-            # per-lane expectation, not a shared budget), so combined
-            # arrivals can exceed capacity — count the clamped vehicles
-            # in `dropped` instead of destroying them silently
-            overflow = jnp.maximum(q2 - cap, 0.0)
-            q2 = q2 - overflow
-            # entry demand blocked when lane full
-            free = jnp.maximum(cap - q2, 0.0)
+            free = jnp.maximum(cap - (q2 + transit.sum(0)), 0.0)
             accepted = jnp.minimum(inflow, free)
-            q2 = q2 + accepted
+            transit = transit + delay_onehot * accepted[None, :]
             dropped = dropped + jnp.sum(inflow - accepted) + jnp.sum(overflow)
             served = (dq > 1e-4).astype(jnp.float32)
             w2 = (w + 1.0) * (q2 > 0.1).astype(jnp.float32) * (1.0 - served)
-            return (q2, w2, dropped), jnp.sum(dq)
+            # arrived = vehicles leaving the network (non-routed fraction);
+            # entered = demand actually admitted — the trip bookkeeping
+            # behind the reference tripinfo outputs (eval artifact parity)
+            arrived = jnp.sum(dq * jnp.maximum(1.0 - route_out, 0.0))
+            return ((q2, transit, w2, dropped),
+                    (jnp.sum(dq), arrived, jnp.sum(accepted)))
 
         # fully unrolled: control_interval_sec (=5) substeps fuse into one
         # XLA computation instead of a scan loop with per-iteration
         # dispatch overhead (the ops are tiny; trip-count overhead wins)
-        (q, w, dropped), flows = jax.lax.scan(
-            substep, (s.queue, s.wait, s.dropped),
+        ((q, transit, w, dropped),
+         (flows, arrivals_out, entered_in)) = jax.lax.scan(
+            substep, (s.queue, s.transit, s.wait, s.dropped),
             jnp.arange(c.control_interval_sec),
             unroll=c.control_interval_sec)
 
         t_new = s.t + 1
         done = t_new >= self.episode_steps
-        s_new = NetworkState(queue=q, wait=w, prev_phase=act, t=t_new,
+        s_new = NetworkState(queue=q, transit=transit, wait=w,
+                             prev_phase=act, t=t_new,
                              done=done, dropped=dropped)
         node_mask = jnp.asarray(self._node_lane_mask)
         node_queue = node_mask @ q                              # [M]
@@ -226,6 +279,8 @@ class TrafficNetworkEnv(Env):
         info = {"avg_queue": jnp.mean(node_queue),
                 "avg_wait": jnp.mean(node_wait),
                 "throughput": jnp.sum(flows),
+                "arrived": jnp.sum(arrivals_out),
+                "entered": jnp.sum(entered_in),
                 "dropped": dropped}
         return s_new, self._obs(s_new), reward.astype(jnp.float32), done, info
 
@@ -233,18 +288,28 @@ class TrafficNetworkEnv(Env):
         """Per-step traffic series (reference _measure_traffic_step /
         output_data: queue/wait per node csv)."""
         node_mask = jnp.asarray(self._node_lane_mask)
+        in_transit = s.transit.sum(0)
         return {"node_queue": node_mask @ s.queue,
                 "node_wait": node_mask @ s.wait,
+                "node_wave": node_mask @ (s.queue + in_transit),
                 "total_queue": jnp.sum(s.queue),
+                "total_transit": jnp.sum(in_transit),
                 "dropped": s.dropped}
 
     # ---- greedy baseline (reference LargeGridController/RealNetController)
 
-    def greedy_action(self, s: NetworkState) -> jax.Array:
-        """Pick, per node, the valid phase serving the largest total queue
-        (reference greedy controllers, SURVEY.md section 2.2 items 7-8)."""
+    def greedy_action(self, s: NetworkState, on: str = "wave") -> jax.Array:
+        """Pick, per node, the valid phase serving the largest demand
+        (reference greedy controllers, SURVEY.md section 2.2 items 7-8).
+
+        ``on='wave'`` scores phases by all vehicles on the served lanes
+        (queued + approaching) — the reference controller's input, the
+        same observation the learned policies get. ``on='queue'`` scores
+        by stop-line queues only (serve only vehicles physically present);
+        evaluation reports the stronger of the two as the baseline."""
         gate = jnp.asarray(self.topo.phase_gate, jnp.float32)
         valid = jnp.asarray(self.topo.phase_valid, jnp.float32)
-        served = jnp.einsum("mpl,l->mp", gate, s.queue)
+        x = s.queue if on == "queue" else s.queue + s.transit.sum(0)
+        served = jnp.einsum("mpl,l->mp", gate, x)
         served = jnp.where(valid > 0, served, -jnp.inf)
         return jnp.argmax(served, axis=-1).astype(jnp.int32)

@@ -91,7 +91,8 @@ def test_hybrid_obs_packed_per_node():
     for _ in range(5):
         s, obs, r, d, info = env.step(s, env.greedy_action(s))
     obs = np.asarray(obs)
-    q = np.asarray(s.queue)
+    # wave = all vehicles on the lane: queued + in-transit
+    q = np.asarray(s.queue) + np.asarray(s.transit).sum(0)
     w = np.asarray(s.wait)
     c = env.cfg
     for i, lanes in enumerate(env.topo.node_lanes):
@@ -103,3 +104,47 @@ def test_hybrid_obs_packed_per_node():
         assert env.spec.n_s_ls[i] == 2 * k
         # everything past the valid span is zero padding
         np.testing.assert_allclose(obs[i, 2 * k:], 0.0)
+
+
+def test_network_data_loader_roundtrip(tmp_path):
+    """External graph loader (reference real_net_data drop-in): dumping
+    the synthetic graph to the documented JSON schema and loading it back
+    must rebuild the identical topology; a phase override must land in
+    the phase tables."""
+    import dataclasses
+    import json
+
+    from deeprl_network_tpu.envs.monaco import (
+        EDGES, ENTRY_NODES, NODE_XY, build_monaco_topology)
+
+    path = tmp_path / "net.json"
+    data = {"nodes": [{"x": float(x), "y": float(y)} for x, y in NODE_XY],
+            "edges": [list(e) for e in EDGES],
+            "entry_nodes": list(ENTRY_NODES)}
+    path.write_text(json.dumps(data))
+
+    cfg = EnvConfig(scenario="real_net", episode_length_sec=300)
+    topo_default = build_monaco_topology(cfg)
+    topo_loaded = build_monaco_topology(
+        dataclasses.replace(cfg, network_data=str(path)))
+    np.testing.assert_array_equal(topo_loaded.node_adj, topo_default.node_adj)
+    np.testing.assert_array_equal(topo_loaded.route, topo_default.route)
+    np.testing.assert_array_equal(topo_loaded.phase_gate,
+                                  topo_default.phase_gate)
+    np.testing.assert_array_equal(topo_loaded.lane_delay,
+                                  topo_default.lane_delay)
+    np.testing.assert_array_equal(topo_loaded.demand, topo_default.demand)
+
+    # explicit phase override: node 0 (neighbors 1 and 7) forced to a
+    # single all-green phase -> n_a drops to 1 and the gate serves both
+    data["phases"] = {"0": [[1, 7]]}
+    path.write_text(json.dumps(data))
+    topo_ovr = build_monaco_topology(
+        dataclasses.replace(cfg, network_data=str(path)))
+    assert int(topo_ovr.phase_valid[0].sum()) == 1
+    lanes0 = [li for li in range(topo_ovr.n_lane)
+              if topo_ovr.lane_node[li] == 0]
+    # every approach lane of node 0 from neighbors 1/7 is gated green
+    assert topo_ovr.phase_gate[0, 0, lanes0].sum() > 0
+    env = RealNetEnv(dataclasses.replace(cfg, network_data=str(path)))
+    assert env.spec.n_a_ls[0] == 1

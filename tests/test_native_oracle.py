@@ -73,10 +73,13 @@ def test_oracle_matches_jax_engine(scenario):
     assert list(out["done"]) == jdone
     np.testing.assert_allclose(out["dropped"], float(state.dropped),
                                rtol=1e-4, atol=1e-2)
-    # final lane-level state agrees too
+    # final lane-level state agrees too, in-transit ring buffer included
     np.testing.assert_allclose(oracle.queue, np.asarray(state.queue),
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(oracle.wait, np.asarray(state.wait),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(oracle.transit_aligned,
+                               np.asarray(state.transit),
                                rtol=1e-4, atol=1e-3)
 
 
