@@ -130,11 +130,13 @@ def evaluate(args) -> None:
     fns = init_agent(env, config)
     seeds = [int(s) for s in args.evaluation_seeds.split(",")]
     out_dir = os.path.join(args.base_dir, "eva_data")
+    eval_kw = dict(seeds=seeds, demo=args.demo, scenario=config.scenario,
+                   control_interval_sec=config.env.control_interval_sec)
     if args.naive:
         # greedy-controller baseline, no model needed (reference
         # main.py init_env(naive_policy=True) + greedy controllers)
-        Evaluator(fns, out_dir, seeds=seeds, demo=args.demo,
-                  policy="controller").run(None)
+        Evaluator(fns, out_dir, policy="controller", agent="greedy",
+                  **eval_kw).run(None)
         return
     from deeprl_network_tpu.utils.checkpoint import CheckpointManager
     ts = fns.init_state(jax.random.key(config.env.seed))
@@ -144,7 +146,7 @@ def evaluate(args) -> None:
     params = ckpt.restore_params(ts.params)
     if params is None:
         raise FileNotFoundError("no checkpoint found under base-dir/model")
-    Evaluator(fns, out_dir, seeds=seeds, demo=args.demo).run(params)
+    Evaluator(fns, out_dir, agent=config.agent, **eval_kw).run(params)
 
 
 def main(argv=None):

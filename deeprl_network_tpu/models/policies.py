@@ -85,6 +85,13 @@ class PolicySpec:
     # Same math (packing happens in mask_comm_params; equivalence tested),
     # ~N/K fewer comm FLOPs in the hot scan (6x on the 5x5 grid).
     sparse_comm: bool = False
+    # alpha-scaled neighbor observations (reference envs/atsc_env.py
+    # _get_state ~L340: MA2C variants additionally see neighbor obs scaled
+    # by the spatial discount alpha = coop_gamma). The reference
+    # concatenates them into the input; concat == per-edge block sum, so
+    # here it is one more masked per-edge einsum on the embedding.
+    neighbor_obs: bool = False
+    obs_alpha: float = 1.0
     # numpy statics (excluded from eq/hash; never traced)
     neighbor_mask: Optional[np.ndarray] = field(default=None, hash=False,
                                                 compare=False)
@@ -129,6 +136,9 @@ class PolicyParams(NamedTuple):
                                     # DIAL: [N,N,n_msg,n_fc];
                                     # COMMNET: [n_lstm, n_fc] shared
     w_dial: Optional[FCParams]      # [N] batched: n_lstm -> n_msg (DIAL)
+    w_nobs: Optional[jax.Array] = None  # [N, N, n_s_max, n_fc]
+                                    # (neighbor_obs: alpha-scaled
+                                    # neighbor observations)
 
 
 class Carry(NamedTuple):
@@ -170,8 +180,11 @@ def init_policy_params(key: jax.Array, spec: PolicySpec,
     critic = fc_init(ks[3], spec.n_lstm, 1, scale=1.0,
                      batch_shape=(n,), dtype=dtype)
 
-    w_fp = w_msg = w_dial = None
+    w_fp = w_msg = w_dial = w_nobs = None
     ct = spec.comm_type
+    if spec.neighbor_obs:
+        w_nobs = ortho_init(ks[7], (n, n, s, spec.n_fc), np.sqrt(2.0),
+                            dtype) * edge_scale
     if ct in (CommType.FP, CommType.NEURCOMM):
         w_fp = ortho_init(ks[4], (n, n, a, spec.n_fc), np.sqrt(2.0),
                           dtype) * edge_scale
@@ -186,25 +199,32 @@ def init_policy_params(key: jax.Array, spec: PolicySpec,
                            np.sqrt(2.0), dtype) * edge_scale
         w_dial = fc_init(ks[6], spec.n_lstm, spec.n_msg, scale=np.sqrt(2.0),
                          batch_shape=(n,), dtype=dtype)
-    params = PolicyParams(w_obs, lstm, actor, critic, w_fp, w_msg, w_dial)
+    params = PolicyParams(w_obs, lstm, actor, critic, w_fp, w_msg, w_dial,
+                          w_nobs)
     # non-edge blocks start (and stay) zero; see mask_comm_params. Stored
     # params are ALWAYS dense [N, N, ...] — sparse_comm packing happens
     # only at use time (mask_comm_params), never on the stored pytree.
     return _zero_nonedge_blocks(spec, params)
 
 
+def _needs_edge_mask(spec: PolicySpec) -> bool:
+    return spec.neighbor_mask is not None and (
+        spec.comm_type is not CommType.NONE or spec.neighbor_obs)
+
+
 def _zero_nonedge_blocks(spec: PolicySpec,
                          params: PolicyParams) -> PolicyParams:
     """Zero the dense [N, N, ...] comm blocks of non-edges (no packing)."""
-    if spec.comm_type in (CommType.NONE,) or spec.neighbor_mask is None:
+    if not _needs_edge_mask(spec):
         return params
     adj = jnp.asarray(spec.adj())[:, :, None, None]
     w_fp = params.w_fp * adj if params.w_fp is not None else None
+    w_nobs = params.w_nobs * adj if params.w_nobs is not None else None
     w_msg = params.w_msg
     if w_msg is not None and spec.comm_type in (CommType.NEURCOMM,
                                                 CommType.DIAL):
         w_msg = w_msg * adj
-    return params._replace(w_fp=w_fp, w_msg=w_msg)
+    return params._replace(w_fp=w_fp, w_msg=w_msg, w_nobs=w_nobs)
 
 
 def mask_comm_params(spec: PolicySpec, params: PolicyParams) -> PolicyParams:
@@ -217,7 +237,7 @@ def mask_comm_params(spec: PolicySpec, params: PolicyParams) -> PolicyParams:
     grid). Gradients flow through this mask, so non-edge blocks get zero
     gradient and never drift: phantom edges cannot form.
     """
-    if spec.comm_type in (CommType.NONE,) or spec.neighbor_mask is None:
+    if not _needs_edge_mask(spec):
         return params
     if spec.sparse_comm:
         # pack dense [N, N, din, dout] blocks to the neighbor lists
@@ -229,11 +249,12 @@ def mask_comm_params(spec: PolicySpec, params: PolicyParams) -> PolicyParams:
         rows = jnp.arange(spec.n_agent)[:, None]
         pack = lambda w: w[rows, idx_j] * vm
         w_fp = pack(params.w_fp) if params.w_fp is not None else None
+        w_nobs = pack(params.w_nobs) if params.w_nobs is not None else None
         w_msg = params.w_msg
         if w_msg is not None and spec.comm_type in (CommType.NEURCOMM,
                                                     CommType.DIAL):
             w_msg = pack(w_msg)
-        return params._replace(w_fp=w_fp, w_msg=w_msg)
+        return params._replace(w_fp=w_fp, w_msg=w_msg, w_nobs=w_nobs)
     return _zero_nonedge_blocks(spec, params)
 
 
@@ -277,6 +298,16 @@ def _embed(spec: PolicySpec, params: PolicyParams, h_prev: jax.Array,
     # input embedding: own obs through per-agent fc
     e = jnp.einsum("ns,nsf->nf", obs, params.w_obs.w) + params.w_obs.b
     ct = spec.comm_type
+    if spec.neighbor_obs:
+        # alpha-scaled neighbor observations (reference _get_state ~L340:
+        # the MA2C state concatenates coop_gamma-scaled neighbor obs;
+        # concat == per-edge block sum, alpha multiplies into the input).
+        # Data path only, like fingerprints.
+        nobs = jax.lax.stop_gradient(obs) * spec.obs_alpha
+        if sparse:  # packed [N, K, S, F]
+            e = e + jnp.einsum("nks,nksf->nf", nobs[idx], params.w_nobs)
+        else:
+            e = e + jnp.einsum("ms,nmsf->nf", nobs, params.w_nobs)
     if ct in (CommType.FP, CommType.NEURCOMM):
         fp_in = jax.lax.stop_gradient(fp)
         if sparse:  # params.w_fp packed [N, K, A, F] by mask_comm_params

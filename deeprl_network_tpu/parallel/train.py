@@ -54,6 +54,11 @@ class ParallelA2C(NamedTuple):
     def spec(self):
         return self.fns.spec
 
+    @property
+    def steps_per_update(self):
+        # already GLOBAL steps: make_a2c was given n_replicas = mesh size
+        return self.fns.steps_per_update
+
 
 def _state_specs(ts_shape) -> TrainState:
     """PartitionSpecs per TrainState field: params/opt_state/step

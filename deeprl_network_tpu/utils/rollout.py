@@ -73,6 +73,8 @@ def make_policy_spec(env_spec, mcfg: ModelConfig, agent: str) -> PolicySpec:
         comm_type=AGENT_TO_COMM[agent],
         n_msg=mcfg.num_fc,
         sparse_comm=mcfg.sparse_comm,
+        neighbor_obs=mcfg.neighbor_obs,
+        obs_alpha=(env_spec.coop_gamma if env_spec.coop_gamma >= 0 else 1.0),
         neighbor_mask=env_spec.neighbor_mask,
         action_mask=env_spec.action_mask,
     )
@@ -85,6 +87,9 @@ class A2CFns(NamedTuple):
     record_episode: Callable[..., Dict[str, jax.Array]]
     spec: PolicySpec
     optimizer: optax.GradientTransformation
+    steps_per_update: int = 0  # global env steps one train_step consumes
+                               # (T x B x replicas) — static, so the host
+                               # loop can count steps without device syncs
 
 
 def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
@@ -462,7 +467,8 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         record_episode = jax.jit(record_episode, static_argnums=(2, 3))
     return A2CFns(init_state=init_state, train_step=train_step,
                   eval_episode=eval_episode, record_episode=record_episode,
-                  spec=spec, optimizer=optimizer)
+                  spec=spec, optimizer=optimizer,
+                  steps_per_update=steps_per_update)
 
 
 def _raw_key(key: jax.Array) -> jax.Array:

@@ -119,11 +119,21 @@ class Trainer:
         t0 = time.time()
         window_metrics = []
         last_step, last_t = self.counter.cur_step, t0
+        # steps_per_update is static: count host-side instead of blocking
+        # on int(ts.step) every update (which would defeat async dispatch
+        # and cap throughput at the dispatch round-trip). Pace the device
+        # queue every few updates — an unsynced loop enqueues unbounded
+        # device work (see CLAUDE.md TPU rules).
+        spu = self.fns.steps_per_update
+        updates_since_sync = 0
         while not self.counter.should_stop():
-            prev = self.counter.cur_step
             ts, metrics = self.fns.train_step(ts)
-            self.counter.update(int(ts.step) - prev)
+            self.counter.update(spu)
             window_metrics.append(metrics)
+            updates_since_sync += 1
+            if updates_since_sync >= 5:
+                jax.block_until_ready(metrics["loss"])
+                updates_since_sync = 0
             if self.counter.should_log():
                 m = {k: float(np.mean([np.asarray(w[k]) for w in
                                        window_metrics]))
@@ -173,12 +183,18 @@ class Evaluator:
 
     def __init__(self, fns: A2CFns, output_dir: str, seeds=(2000, 2500, 3000),
                  demo: bool = False, policy: str = "sample",
-                 record: bool = True):
+                 record: bool = True, scenario: str = "", agent: str = "",
+                 control_interval_sec: int = 5):
         self.fns = fns
         self.out_dir = output_dir
         self.writer = MetricWriter(output_dir, "eval_log")
         self.seeds = seeds
         self.policy = policy
+        # reference artifact naming: {scenario}_{agent}_{trip,traffic,
+        # control}.csv (envs/atsc_env.py output_data ~L285)
+        self.scenario = scenario
+        self.agent = agent
+        self.control_interval_sec = control_interval_sec
         # reference --demo replays the episode in the SUMO GUI; the
         # in-XLA engine has no GUI, so demo guarantees the full per-step
         # series csvs are written for offline replay/plotting instead
@@ -188,8 +204,8 @@ class Evaluator:
                      "per-step series csvs for offline replay")
 
     def run(self, params) -> Dict[str, float]:
-        import csv
         rows = []
+        episodes = []
         for s in self.seeds:
             seq = self.fns.record_episode(params, jax.random.key(int(s)),
                                           None, self.policy)
@@ -204,12 +220,78 @@ class Evaluator:
                     row[f"avg_{k}"] = float(np.mean(v[:steps]))
             self.writer.write(row)
             rows.append(row)
+            episodes.append((int(s), seq, steps))
             if self.record:
                 self._write_series(s, seq, steps)
+        if self.record:
+            self._write_reference_artifacts(episodes)
         avg = {k: float(np.mean([r[k] for r in rows]))
                for k in rows[0] if k != "seed"}
         log.info("eval over %d seeds: %s", len(self.seeds), avg)
         return avg
+
+    def _write_reference_artifacts(self, episodes) -> None:
+        """Reference eval artifact schema (envs/atsc_env.py output_data
+        ~L285, SURVEY 2.2 item 6): `{scenario}_{agent}_traffic.csv` (one
+        row per control step: network aggregates), `_control.csv` (one row
+        per step x node: action + reward), `_trip.csv` (one row per
+        episode: trip bookkeeping — the engine is aggregate, so per-
+        vehicle tripinfo becomes conserved totals: entered / arrived /
+        dropped vehicles and mean trip time = vehicle-seconds in network /
+        arrivals). Written only for scenarios whose record()/info streams
+        carry traffic keys (ATSC); CACC keeps its per-step platoon series
+        in episode_seed{s}.csv, the reference CACC output_data."""
+        import csv as _csv
+        need = {"avg_queue", "avg_wait", "arrived", "entered", "action",
+                "reward", "total_queue", "total_transit"}
+        if not episodes or not need <= set(episodes[0][1]):
+            return
+        tag = f"{self.scenario}_{self.agent}" if self.agent else self.scenario
+        dt = float(self.control_interval_sec)
+
+        with open(os.path.join(self.out_dir, f"{tag}_traffic.csv"),
+                  "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["episode", "step", "time_sec", "avg_queue",
+                        "avg_wait", "throughput", "arrived", "entered",
+                        "total_queue", "total_transit", "dropped"])
+            for seed, seq, steps in episodes:
+                for t in range(steps):
+                    w.writerow([seed, t, t * dt] + [
+                        f"{float(seq[k][t]):.4f}" for k in
+                        ("avg_queue", "avg_wait", "throughput", "arrived",
+                         "entered", "total_queue", "total_transit",
+                         "dropped")])
+
+        with open(os.path.join(self.out_dir, f"{tag}_control.csv"),
+                  "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["episode", "step", "time_sec", "node", "action",
+                        "reward"])
+            for seed, seq, steps in episodes:
+                n_agent = seq["action"].shape[1]
+                for t in range(steps):
+                    for n in range(n_agent):
+                        w.writerow([seed, t, t * dt, n,
+                                    int(seq["action"][t, n]),
+                                    f"{float(seq['reward'][t, n]):.4f}"])
+
+        with open(os.path.join(self.out_dir, f"{tag}_trip.csv"),
+                  "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["episode", "entered_veh", "arrived_veh",
+                        "dropped_veh", "avg_trip_sec", "avg_wait_sec"])
+            for seed, seq, steps in episodes:
+                entered = float(seq["entered"][:steps].sum())
+                arrived = float(seq["arrived"][:steps].sum())
+                dropped = float(seq["dropped"][steps - 1]) if steps else 0.0
+                veh_sec = float((seq["total_queue"][:steps]
+                                 + seq["total_transit"][:steps]).sum()) * dt
+                avg_trip = veh_sec / max(arrived, 1e-6)
+                avg_wait = float(seq["avg_wait"][:steps].mean())
+                w.writerow([seed, f"{entered:.1f}", f"{arrived:.1f}",
+                            f"{dropped:.1f}", f"{avg_trip:.2f}",
+                            f"{avg_wait:.2f}"])
 
     def _write_series(self, seed: int, seq, steps: int) -> None:
         """Per-step csv, per-agent columns flattened (reference

@@ -224,3 +224,85 @@ def test_sparse_comm_matches_dense(comm):
     for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_d)):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_neighbor_obs_routing_and_scaling():
+    """alpha-scaled neighbor observations (reference _get_state ~L340,
+    SURVEY 2.2 item 6): on the line graph 0-1-2, agent 0's embedding must
+    react to agent 1's obs through w_nobs but not to agent 2's; the term
+    scales linearly with obs_alpha; and it is a data path (no gradient
+    into the obs, like fingerprints)."""
+    import dataclasses
+
+    base_spec = _mk_spec(CommType.NONE)
+    spec = dataclasses.replace(base_spec, neighbor_obs=True, obs_alpha=0.75)
+    params = init_policy_params(jax.random.key(0), spec)
+    assert params.w_nobs.shape == (3, 3, 4, 8)
+    # non-edge blocks zeroed at init: (0,0) self, (0,2) non-edge
+    np.testing.assert_allclose(np.array(params.w_nobs[0, 0]), 0.0)
+    np.testing.assert_allclose(np.array(params.w_nobs[0, 2]), 0.0)
+
+    fp = init_fingerprint(spec)
+    carry = init_carry(spec)
+
+    def logits_for(obs, s=spec, p=params):
+        mp = mask_comm_params(s, p)
+        _, logits, _ = policy_step(s, mp, carry, obs, fp, jnp.zeros(()))
+        return np.array(logits)
+
+    obs0 = jnp.zeros((3, 4))
+    bump1 = obs0.at[1].set(1.0)
+    bump2 = obs0.at[2].set(1.0)
+    l_base, l1, l2 = logits_for(obs0), logits_for(bump1), logits_for(bump2)
+    assert not np.allclose(l1[0], l_base[0])       # neighbor obs reaches 0
+    np.testing.assert_allclose(l2[0], l_base[0], atol=1e-6)  # non-neighbor
+    # without the flag, agent 0 ignores agent 1's obs entirely
+    p_off = init_policy_params(jax.random.key(0), base_spec)
+    lo_b = logits_for(obs0, base_spec, p_off)
+    lo_1 = logits_for(bump1, base_spec, p_off)
+    np.testing.assert_allclose(lo_1[0], lo_b[0], atol=1e-6)
+
+    # alpha scaling: the pre-relu neighbor term is linear in obs_alpha
+    from deeprl_network_tpu.models.policies import _embed
+    h0 = jnp.zeros((3, 8))
+    spec2 = dataclasses.replace(spec, obs_alpha=1.5)
+    mp = mask_comm_params(spec, params)
+    e_a = _embed(spec, mp, h0, bump1, fp)
+    e_b = _embed(spec2, mp, h0, bump1, fp)
+    e_0 = _embed(spec, mp, h0, obs0, fp)
+    # relu is active or not per unit; compare where both positive
+    da, db = np.array(e_a - e_0), np.array(e_b - e_0)
+    act = (np.array(e_a) > 1e-6) & (np.array(e_b) > 1e-6) & (np.array(e_0) > 1e-6)
+    if act.any():
+        np.testing.assert_allclose(db[act] / da[act], 2.0, rtol=1e-4)
+
+    # data path: no gradient into obs through the neighbor term
+    def f(obs):
+        mp = mask_comm_params(spec, params)
+        _, logits, _ = policy_step(spec, mp, carry, obs, fp, jnp.zeros(()))
+        return logits[0].sum()
+
+    g = np.array(jax.grad(f)(bump1))
+    np.testing.assert_allclose(g[1], 0.0, atol=1e-8)
+
+
+def test_neighbor_obs_sparse_matches_dense():
+    import dataclasses
+
+    dense = dataclasses.replace(_mk_spec(CommType.NEURCOMM, n=4),
+                                neighbor_obs=True, obs_alpha=0.9)
+    sparse = dataclasses.replace(dense, sparse_comm=True)
+    params = init_policy_params(jax.random.key(3), dense)
+    carry = Carry(jnp.ones((4, 8)) * 0.1, jnp.ones((4, 8)) * 0.2)
+    obs = jax.random.normal(jax.random.key(1), (4, 4))
+    fp = jax.nn.softmax(jax.random.normal(jax.random.key(2), (4, 3)))
+
+    def run(spec):
+        mp = mask_comm_params(spec, params)
+        _, logits, v = policy_step(spec, mp, carry, obs, fp, jnp.zeros(()))
+        return np.array(logits), np.array(v)
+
+    lo_d, v_d = run(dense)
+    lo_s, v_s = run(sparse)
+    np.testing.assert_allclose(lo_s, lo_d, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(v_s, v_d, rtol=1e-6, atol=1e-6)
