@@ -94,6 +94,14 @@ class ModelConfig:
                                 # per step to HBM where XLA's fused
                                 # autodiff recomputes. Kept for shapes
                                 # where the cell dominates (large H).
+    compute_dtype: str = "float32"  # "bfloat16" runs the policy compute
+                                # path (obs embed, comm einsums, LSTM,
+                                # heads) in bf16 with f32 master params,
+                                # optimizer, returns and losses: the cell
+                                # matmuls are HBM-bandwidth-bound at
+                                # H=64, so halving the bytes buys real
+                                # throughput. Logits/values are cast
+                                # back to f32 before sampling/losses.
     fused_grad: bool = True     # differentiate through the rollout scan
                                 # itself (one T-step scan/update) instead
                                 # of replaying the window for BPTT (two

@@ -51,14 +51,38 @@ class CheckpointManager:
         raw = self.mngr.restore(step)   # nested dicts of host arrays
         raw_params = raw["params"]
 
-        def pick(like, node):
+        def pick(like, node, path):
             if like is None:
                 return None
+            if node is None:
+                raise ValueError(
+                    f"checkpoint params missing a leaf at {path!r} that "
+                    f"the current model requires (stored None / absent); "
+                    f"model and checkpoint disagree structurally")
             if hasattr(like, "_fields"):      # NamedTuple
-                return type(like)(*[pick(getattr(like, f), node[f])
-                                    for f in like._fields])
+                vals = []
+                for f in like._fields:
+                    want = getattr(like, f)
+                    # tolerate fields added after the checkpoint was
+                    # written ONLY when the template says they are unused
+                    if f not in node:
+                        if want is None:
+                            vals.append(None)
+                            continue
+                        raise ValueError(
+                            f"checkpoint params missing field "
+                            f"{path + '.' + f!r} required by the model")
+                    vals.append(pick(want, node[f], path + "." + f))
+                return type(like)(*vals)
             if isinstance(like, dict):
-                return {k: pick(v, node[k]) for k, v in like.items()}
-            return jax.numpy.asarray(node)
+                return {k: pick(v, node.get(k), path + "." + k)
+                        for k, v in like.items()}
+            arr = jax.numpy.asarray(node)
+            if arr.shape != like.shape:
+                raise ValueError(
+                    f"checkpoint param {path!r} has shape {arr.shape}, "
+                    f"model expects {like.shape} (different topology or "
+                    f"model config?)")
+            return arr
 
-        return pick(params_like, raw_params)
+        return pick(params_like, raw_params, "params")

@@ -128,9 +128,26 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         decay=mcfg.rmsp_alpha, eps=mcfg.rmsp_epsilon,
         max_grad_norm=mcfg.max_grad_norm)
 
+    cdt = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else jnp.float32
+    if cdt != jnp.float32 and (mcfg.use_pallas or not mcfg.fused_grad):
+        raise ValueError("compute_dtype=bfloat16 is supported on the "
+                         "default fused-gradient path only")
+
+    def _prep_params(params):
+        """Masked (+ cast) params for the hot path: mask ONCE per call,
+        cast to the compute dtype (f32 master params stay in TrainState;
+        grads of the cast flow back to f32)."""
+        p = mask_comm_params(spec, params)
+        if cdt != jnp.float32:
+            p = jax.tree.map(lambda x: x.astype(cdt), p)
+        return p
+
     def pstep(params, carry, obs, fp, done):
         from deeprl_network_tpu.models.policies import policy_step
-        return policy_step(spec, params, carry, obs, fp, done)
+        carry2, logits, values = policy_step(
+            spec, params, carry, obs.astype(cdt), fp.astype(cdt), done)
+        return (carry2, logits.astype(jnp.float32),
+                values.astype(jnp.float32))
 
     if mcfg.use_pallas:
         from deeprl_network_tpu.models.policies import policy_step_batched
@@ -161,7 +178,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         run_keys = fold(k_run, idx)                    # [B, 2] raw
         carry = jax.tree.map(
             lambda x: jnp.zeros((n_env,) + x.shape, x.dtype),
-            init_carry(spec))
+            init_carry(spec, dtype=cdt))
         fp = jnp.tile(init_fingerprint(spec)[None],
                       (n_env, 1, 1))
         return TrainState(
@@ -287,7 +304,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         while the second T-step policy scan disappears."""
 
         def fused_loss(params):
-            mparams = mask_comm_params(spec, params)
+            mparams = _prep_params(params)
             sg = jax.lax.stop_gradient
 
             def body(carry_in, _):

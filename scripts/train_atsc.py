@@ -1,0 +1,162 @@
+"""ATSC training harness: train one (agent, scenario) on TPU, log jsonl,
+then evaluate sampled-policy episodes on held-out seeds against BOTH
+greedy-controller variants — all in one process (one compile, one TPU
+client; CLAUDE.md axon rules).
+
+    python scripts/train_atsc.py --agent ma2c_nc --scenario grid \
+        --steps 300000000 --out results/grid_ma2c_nc_r2.jsonl
+
+The tuned defaults come from the round-1 sweep (results/README.md): the
+B=256-env fused update sees 256x more data per update than the
+reference's single-env 120-step update, so lr scales up and entropy
+pressure drops; clip_wave widens so the policy can rank the queues that
+matter (reference norm_wave=5/clip_wave=2 saturates at 10 vehicles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from deeprl_network_tpu.utils.rollout import make_a2c
+
+EVAL_SEEDS = (10000, 10001, 10002)
+
+
+def build_env(scenario: str, agent: str, clip_wave: float,
+              link_delay: int):
+    # reference coop_gamma: MA2C families use spatial discounting; IA2C
+    # and IA2C_FP use the global reward (coop_gamma < 0)
+    coop = -1.0 if agent in ("ia2c", "ia2c_fp") else 0.9
+    if scenario == "grid":
+        from deeprl_network_tpu.envs.grid import LargeGridEnv
+        ecfg = EnvConfig(scenario="large_grid", coop_gamma=coop,
+                         clip_wave=clip_wave, link_delay_sec=link_delay)
+        return LargeGridEnv(ecfg), ecfg
+    from deeprl_network_tpu.envs.monaco import RealNetEnv
+    ecfg = EnvConfig(scenario="real_net", coop_gamma=coop,
+                     clip_wave=clip_wave, link_delay_sec=link_delay)
+    return RealNetEnv(ecfg), ecfg
+
+
+def greedy_returns(env, seeds, horizon):
+    """Controller baselines on the held-out seeds, both scoring forms."""
+    import jax.numpy as jnp
+
+    out = {}
+    for on in ("queue", "wave"):
+        def body(c, _):
+            state = c
+            a = env.greedy_action(state, on=on)
+            state, _, r, _, _ = env.step(state, a)
+            return state, r.sum()
+
+        def run(seed):
+            state, _ = env.reset(jax.random.key(seed))
+            _, rs = jax.lax.scan(body, state, None, length=horizon)
+            return float(rs.sum())
+
+        out[on] = [run(int(s)) for s in seeds]
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--agent", default="ma2c_nc")
+    p.add_argument("--scenario", default="grid", choices=["grid", "monaco"])
+    p.add_argument("--steps", type=int, default=300_000_000)
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--seeds", default="0",
+                   help="comma list: all seeds run IN ONE PROCESS so the "
+                        "train_step compile is paid once (axon compiles "
+                        "are minutes; CLAUDE.md)")
+    p.add_argument("--lr", type=float, default=2.5e-3)
+    p.add_argument("--lr-decay", default="linear")
+    p.add_argument("--entropy", type=float, default=3e-3)
+    p.add_argument("--entropy-decay", default="constant")
+    p.add_argument("--clip-wave", type=float, default=8.0)
+    p.add_argument("--reward-norm", type=float, default=2000.0)
+    p.add_argument("--link-delay", type=int, default=10)
+    p.add_argument("--neighbor-obs", action="store_true")
+    p.add_argument("--ckpt", default=None,
+                   help="directory to save final params per seed")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    env, ecfg = build_env(args.scenario, args.agent, args.clip_wave,
+                          args.link_delay)
+    horizon = env.episode_steps
+    mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
+                       lr_init=args.lr, lr_decay=args.lr_decay,
+                       entropy_coef=args.entropy,
+                       entropy_decay=args.entropy_decay,
+                       reward_norm=args.reward_norm,
+                       neighbor_obs=args.neighbor_obs)
+    tcfg = TrainConfig(total_step=args.steps)
+    fns = make_a2c(env, mcfg, tcfg, agent=args.agent)
+
+    sink = open(args.out, "w") if args.out else sys.stdout
+
+    def emit(row):
+        print(json.dumps(row), file=sink, flush=True)
+        if sink is not sys.stdout:
+            print(json.dumps(row), file=sys.stderr, flush=True)
+
+    emit({"run": vars(args)})
+    seeds = [int(s) for s in args.seeds.split(",")]
+    greedy = None
+    spu = fns.steps_per_update
+    total_updates = args.steps // spu
+    log_every = max(total_updates // 25, 1)
+
+    for seed in seeds:
+        t0 = time.time()
+        ts = fns.init_state(jax.random.key(seed))
+        jax.block_until_ready(ts.obs)
+        ts, m = fns.train_step(ts)
+        jax.block_until_ready(m["loss"])
+        print(f"seed {seed}: first step ready {time.time()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+
+        t0 = time.time()
+        for i in range(1, total_updates):
+            ts, m = fns.train_step(ts)
+            if i % 5 == 0:
+                jax.block_until_ready(m["loss"])
+            if i % log_every == 0:
+                emit({"seed": seed, "step": (i + 1) * spu,
+                      "episode_return": round(float(m["episode_return"]), 1),
+                      "avg_queue": round(float(m["env/avg_queue"]), 2),
+                      "avg_wait": round(float(m["env/avg_wait"]), 2),
+                      "entropy": round(float(m["entropy"]), 4),
+                      "sps": round((i + 1) * spu / (time.time() - t0), 1)})
+
+        # final sampled-policy eval on held-out seeds (reference protocol)
+        rets = [float(fns.eval_episode(ts.params, jax.random.key(s), None,
+                                       False)["episode_return"])
+                for s in EVAL_SEEDS]
+        if greedy is None:
+            greedy = greedy_returns(env, EVAL_SEEDS, horizon)
+        greedy_best = max(float(np.mean(greedy["queue"])),
+                          float(np.mean(greedy["wave"])))
+        emit({"seed": seed, "final_eval_sampled": rets,
+              "mean": float(np.mean(rets)),
+              "greedy_queue": greedy["queue"],
+              "greedy_wave": greedy["wave"],
+              "beats_greedy": bool(float(np.mean(rets)) > greedy_best)})
+        if args.ckpt:
+            from deeprl_network_tpu.utils.checkpoint import CheckpointManager
+            CheckpointManager(f"{args.ckpt}/seed{seed}").save(
+                int(ts.step), ts)
+
+
+if __name__ == "__main__":
+    main()

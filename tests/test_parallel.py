@@ -83,3 +83,34 @@ def test_multi_device_update_equals_single_device(agent):
                     jax.tree.leaves(ts1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_restore_params_from_dp_checkpoint_into_single_device(tmp_path):
+    """The stated purpose of restore_params (utils/checkpoint.py): a
+    checkpoint written by a DATA-PARALLEL run (global env batch sharded
+    over the 8-device mesh) restores into a single-device eval whose
+    TrainState shapes differ — params land exactly, and eval runs."""
+    from deeprl_network_tpu.envs.cacc import CACCEnv
+    from deeprl_network_tpu.parallel.train import make_mesh, make_parallel_a2c
+    from deeprl_network_tpu.utils.checkpoint import CheckpointManager
+    from deeprl_network_tpu.utils.rollout import make_a2c
+
+    env = CACCEnv(EnvConfig(scenario="cacc_catchup", episode_length=24))
+    mcfg = ModelConfig(batch_size=8, num_fc=8, num_lstm=8, num_envs=8)
+    tcfg = TrainConfig(total_step=10_000)
+    par = make_parallel_a2c(env, mcfg, tcfg, agent="ma2c_nc",
+                            mesh=make_mesh(jax.devices()))
+    ts = par.init_state(jax.random.key(0))
+    ts, _ = par.train_step(ts)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(1, ts)
+
+    single = make_a2c(env, ModelConfig(batch_size=8, num_fc=8, num_lstm=8,
+                                       num_envs=2),
+                      tcfg, agent="ma2c_nc")
+    ts1 = single.init_state(jax.random.key(7))
+    params = CheckpointManager(str(tmp_path)).restore_params(ts1.params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    out = single.eval_episode(params, jax.random.key(3))
+    assert np.isfinite(float(out["episode_return"]))

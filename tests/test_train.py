@@ -175,3 +175,32 @@ def test_sparse_comm_train_step_matches_dense(agent):
                     jax.tree.leaves(ts_d.params)):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    rtol=0.2, atol=5e-3)
+
+
+def test_bf16_compute_path_trains():
+    """compute_dtype=bfloat16 (fused path): train steps run, losses stay
+    finite, master params stay f32, and the policy improves the same
+    direction as f32 (loose check — bf16 differs numerically)."""
+    env = CACCEnv(EnvConfig(scenario="cacc_catchup", episode_length=40))
+    mcfg = ModelConfig(batch_size=8, num_fc=16, num_lstm=16, num_envs=4,
+                       reward_norm=1000.0, compute_dtype="bfloat16")
+    fns = make_a2c(env, mcfg, TrainConfig(total_step=10_000),
+                   agent="ma2c_nc")
+    ts = fns.init_state(jax.random.key(0))
+    assert ts.params.lstm.wx.dtype == jnp.float32   # master params f32
+    assert ts.carry.h.dtype == jnp.bfloat16         # hot-loop carry bf16
+    for _ in range(3):
+        ts, m = fns.train_step(ts)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["grad_norm"])) and float(m["grad_norm"]) > 0
+    # eval path shares pstep: runs and returns finite numbers
+    out = fns.eval_episode(ts.params, jax.random.key(1))
+    assert np.isfinite(float(out["episode_return"]))
+
+
+def test_bf16_rejects_unsupported_combos():
+    env = CACCEnv(EnvConfig(scenario="cacc_catchup", episode_length=40))
+    with pytest.raises(ValueError):
+        make_a2c(env, ModelConfig(batch_size=8, compute_dtype="bfloat16",
+                                  fused_grad=False),
+                 TrainConfig(total_step=100), agent="ia2c")
