@@ -180,6 +180,17 @@ class EnvConfig:
                                      # queue (SUMO ~200m links at ~20 m/s;
                                      # grid uses it uniformly, Monaco
                                      # scales it by edge length). >= 1.
+    phase_in_obs: bool = False       # append the node's CURRENT phase
+                                     # (one-hot of prev action) to its
+                                     # observation. The reference state
+                                     # is wave(+wait) only [M], but its
+                                     # SUMO controller state is implicit
+                                     # in the lights; without it a
+                                     # stochastic policy cannot know
+                                     # which switch incurs the yellow
+                                     # penalty (hysteresis is
+                                     # inexpressible). Off by default;
+                                     # A/B in results/README.md.
     network_data: str = ""           # optional JSON graph file for the
                                      # real_net scenario (real OSM data
                                      # drop-in; see monaco.py

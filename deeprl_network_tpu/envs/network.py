@@ -110,8 +110,12 @@ class TrafficNetworkEnv(Env):
         max_lanes = max(len(ls) for ls in topo.node_lanes)
         self.max_lanes = max_lanes
         self._use_wait = cfg.objective in ("wait", "hybrid")
-        n_s_ls = tuple(
-            len(ls) * (2 if self._use_wait else 1) for ls in topo.node_lanes)
+        self._use_phase = bool(getattr(cfg, "phase_in_obs", False))
+        P_max = topo.phase_gate.shape[1]
+        base_ls = [len(ls) * (2 if self._use_wait else 1)
+                   for ls in topo.node_lanes]
+        n_s_ls = tuple(b + (n_a_ls[m] if self._use_phase else 0)
+                       for m, b in enumerate(base_ls))
         dist = hop_distances(topo.node_adj)
         self.spec = EnvSpec(
             n_agent=M, n_s_ls=n_s_ls, n_a_ls=n_a_ls,
@@ -119,11 +123,12 @@ class TrafficNetworkEnv(Env):
             distance_mask=dist, coop_gamma=cfg.coop_gamma)
         # obs gather [M, n_s_max] into the concatenated feature vector
         # (wave [L] or wave;wait [2L]): each node's features are PACKED
-        # left-aligned — [wave_0..wave_{k-1}, wait_0..wait_{k-1}, 0 pad] —
-        # so the first n_s_ls[i] dims are exactly node i's valid features
-        # (heterogeneous Monaco nodes included). Padded slots gather
-        # index 0 and are zero-masked.
-        width = max_lanes * (2 if self._use_wait else 1)
+        # left-aligned — [wave_0..wave_{k-1}, wait_0..wait_{k-1},
+        # (phase one-hot), 0 pad] — so the first n_s_ls[i] dims are
+        # exactly node i's valid features (heterogeneous Monaco nodes
+        # included). Padded slots gather index 0 and are zero-masked.
+        width = max_lanes * (2 if self._use_wait else 1) + (
+            P_max if self._use_phase else 0)
         gather = np.zeros((M, width), np.int64)
         gmask = np.zeros((M, width), np.float32)
         L = topo.n_lane
@@ -136,6 +141,14 @@ class TrafficNetworkEnv(Env):
                 gmask[m, k:2 * k] = 1.0
         self._gather = gather
         self._gmask = gmask
+        if self._use_phase:
+            # static placement of the current-phase one-hot right after
+            # each node's packed lane features (phase_in_obs)
+            pmat = np.zeros((M, P_max, width), np.float32)
+            for m in range(M):
+                for p in range(n_a_ls[m]):
+                    pmat[m, p, base_ls[m] + p] = 1.0
+            self._phase_place = pmat
         self._node_lane_mask = np.zeros((M, topo.n_lane), np.float32)
         for m, ls in enumerate(topo.node_lanes):
             self._node_lane_mask[m, ls] = 1.0
@@ -181,7 +194,13 @@ class TrafficNetworkEnv(Env):
         g = jnp.asarray(self._gather)
         gm = jnp.asarray(self._gmask)
         # packed per-agent: valid dims are the first n_s_ls[i] of each row
-        return (feats[g] * gm).astype(jnp.float32)
+        out = (feats[g] * gm).astype(jnp.float32)
+        if self._use_phase:
+            onehot = jax.nn.one_hot(s.prev_phase,
+                                    self.topo.phase_gate.shape[1])
+            out = out + jnp.einsum("mp,mpw->mw", onehot,
+                                   jnp.asarray(self._phase_place))
+        return out
 
     def step(self, s: NetworkState, action: jax.Array
              ) -> Tuple[NetworkState, jax.Array, jax.Array, jax.Array,

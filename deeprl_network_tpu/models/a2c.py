@@ -115,9 +115,12 @@ def a2c_loss_terms(logp_a: jax.Array, entropy: jax.Array, values: jax.Array,
     value_loss = jnp.sum(jnp.mean(
         0.5 * (jax.lax.stop_gradient(returns) - values) ** 2,
         axis=lead)) * value_coef
+    mean_entropy = jnp.mean(entropy)  # RAW per-agent policy entropy —
+    # reporting coef*H would read as "deterministic" whenever the
+    # schedule anneals the coef, regardless of the actual policy
     entropy_loss = -jnp.sum(jnp.mean(entropy, axis=lead)) * entropy_coef
     total = policy_loss + value_loss + entropy_loss
-    return total, LossStats(total, policy_loss, value_loss, -entropy_loss)
+    return total, LossStats(total, policy_loss, value_loss, mean_entropy)
 
 
 def a2c_loss(spec: PolicySpec, params: PolicyParams, init_carry: Carry,

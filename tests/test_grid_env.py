@@ -127,3 +127,46 @@ def test_vmap_batch(env):
     a = jnp.zeros((B, 25), jnp.int32)
     s2, o2, r, d, info = jax.vmap(env.step)(states, a)
     assert r.shape == (B, 25)
+
+
+def test_phase_in_obs_layout():
+    """phase_in_obs: the current-phase one-hot lands right after each
+    node's packed lane features, n_s grows by n_a, and it tracks the
+    clipped action taken at the previous step."""
+    cfg = EnvConfig(scenario="large_grid", episode_length_sec=300,
+                    phase_in_obs=True)
+    env = LargeGridEnv(cfg)
+    assert env.spec.n_s_ls == (12 + 5,) * 25
+    state, obs = env.reset(jax.random.key(0))
+    # at reset prev_phase = 0 everywhere
+    np.testing.assert_allclose(np.asarray(obs)[:, 12:17],
+                               np.eye(5)[np.zeros(25, int)])
+    a = jnp.asarray(np.arange(25) % 5, jnp.int32)
+    state, obs, *_ = env.step(state, a)
+    np.testing.assert_allclose(np.asarray(obs)[:, 12:17],
+                               np.eye(5)[np.asarray(a)])
+    # wave features unchanged by the flag
+    cfg0 = EnvConfig(scenario="large_grid", episode_length_sec=300)
+    env0 = LargeGridEnv(cfg0)
+    s0, o0 = env0.reset(jax.random.key(0))
+    s0, o0, *_ = env0.step(s0, a)
+    np.testing.assert_allclose(np.asarray(obs)[:, :12], np.asarray(o0))
+
+
+def test_phase_in_obs_monaco_heterogeneous():
+    from deeprl_network_tpu.envs.monaco import RealNetEnv
+    cfg = EnvConfig(scenario="real_net", episode_length_sec=300,
+                    phase_in_obs=True)
+    env = RealNetEnv(cfg)
+    cfg0 = EnvConfig(scenario="real_net", episode_length_sec=300)
+    env0 = RealNetEnv(cfg0)
+    for i in range(env.spec.n_agent):
+        assert env.spec.n_s_ls[i] == env0.spec.n_s_ls[i] + env.spec.n_a_ls[i]
+    state, obs = env.reset(jax.random.key(0))
+    obs = np.asarray(obs)
+    for i in range(env.spec.n_agent):
+        base = env0.spec.n_s_ls[i]
+        # one-hot of phase 0 within the node's valid action span
+        assert obs[i, base] == 1.0
+        np.testing.assert_allclose(obs[i, base + 1:env.spec.n_s_ls[i]], 0.0)
+        np.testing.assert_allclose(obs[i, env.spec.n_s_ls[i]:], 0.0)
