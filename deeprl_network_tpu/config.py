@@ -102,6 +102,25 @@ class ModelConfig:
                                 # H=64, so halving the bytes buys real
                                 # throughput. Logits/values are cast
                                 # back to f32 before sampling/losses.
+    switch_penalty: float = 0.0  # TRAINING-ONLY reward shaping (raw
+                                # reward units, applied before
+                                # normalization/spatial mixing): subtract
+                                # this per agent whose action changed from
+                                # the previous control step. The yellow
+                                # interval makes switching genuinely
+                                # costly, but the cost arrives diffused
+                                # over downstream queues; this makes it
+                                # immediate and local. Evaluation always
+                                # uses the TRUE env reward — eval episode
+                                # returns are unshaped.
+    kickstart_coef: float = 0.0  # weight of an auxiliary cross-entropy
+                                # loss toward env.controller_action (the
+                                # hysteresis hand controller) during
+                                # training, annealed linearly to zero at
+                                # kickstart_ratio * total_step
+                                # (kickstarting; training-only, the
+                                # evaluated policy is the network alone).
+    kickstart_ratio: float = 0.5
     fused_grad: bool = True     # differentiate through the rollout scan
                                 # itself (one T-step scan/update) instead
                                 # of replaying the window for BPTT (two
@@ -191,6 +210,31 @@ class EnvConfig:
                                      # penalty (hysteresis is
                                      # inexpressible). Off by default;
                                      # A/B in results/README.md.
+    queue_in_obs: bool = False       # append each lane's HALTED count
+                                     # (the stop-line queue) next to its
+                                     # wave. The queue is what the reward
+                                     # charges for, and it is the signal
+                                     # the strongest hand controllers
+                                     # score on (greedy_action on="queue"
+                                     # / hysteresis; SUMO exposes it as
+                                     # getLastStepHaltingNumber). wave
+                                     # alone conflates queued with
+                                     # approaching vehicles; measured on
+                                     # the 5x5 grid defaults, queue-scored
+                                     # hysteresis reaches -140k vs -167k
+                                     # for the best wave-scored form, so a
+                                     # wave-only policy cannot even
+                                     # express the baseline it must beat.
+                                     # Off by default (reference state is
+                                     # wave-only [M]); tuned grid configs
+                                     # enable it. A/B in results/README.md.
+    hysteresis_delta: float = 3.0    # score margin (vehicles) a competing
+                                     # phase must win by before the
+                                     # hysteresis controller switches
+                                     # (greedy_action(..., delta>0));
+                                     # delta-swept on the 5x5 defaults:
+                                     # 3.0 is the strongest (results/
+                                     # README.md controller table)
     network_data: str = ""           # optional JSON graph file for the
                                      # real_net scenario (real OSM data
                                      # drop-in; see monaco.py

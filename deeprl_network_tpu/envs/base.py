@@ -97,6 +97,19 @@ class Env:
         dict of arrays collected every control step by record_episode."""
         return {}
 
+    def prev_action(self, state):
+        """[N] previous control action, or None if the env family has no
+        persistent action notion (CACC gains are memoryless). Used by
+        training-only switch-cost shaping (ModelConfig.switch_penalty)."""
+        return None
+
+    def controller_action(self, state):
+        """The strongest built-in hand controller's action for ``state``,
+        or None. ATSC envs return queue-scored hysteresis (the baseline
+        of record and the kickstart teacher); CACC has no controller in
+        the reference either."""
+        return None
+
     # convenience passthroughs matching the reference attribute names
     @property
     def n_agent(self) -> int:

@@ -185,11 +185,19 @@ def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
     # directly). Irregular delays are part of the Monaco task structure.
     base = max(int(cfg.link_delay_sec), 1)
     lane_delay = np.zeros((L,), np.int32)
+    # normalize planar distances by the MEAN edge length so the scale of
+    # the coordinates (unit-lattice synthetic graph vs meters in real OSM
+    # drop-ins) cancels: a mean-length edge takes `base` seconds either
+    # way, and only the relative heterogeneity survives (ADVICE round 2:
+    # raw meter coordinates would saturate every lane at 3*base).
+    edge_lens = [float(np.linalg.norm(node_xy[n] - node_xy[f]))
+                 for (n, f, t) in lanes if f != EXT]
+    mean_len = max(float(np.mean(edge_lens)) if edge_lens else 1.0, 1e-9)
     for li, (n, f, t) in enumerate(lanes):
         if f == EXT:
             lane_delay[li] = base
         else:
-            d = float(np.linalg.norm(node_xy[n] - node_xy[f]))
+            d = float(np.linalg.norm(node_xy[n] - node_xy[f])) / mean_len
             lane_delay[li] = int(np.clip(round(d * base), 1, 3 * base))
     return NetworkTopology(
         n_node=M,

@@ -111,9 +111,10 @@ class TrafficNetworkEnv(Env):
         self.max_lanes = max_lanes
         self._use_wait = cfg.objective in ("wait", "hybrid")
         self._use_phase = bool(getattr(cfg, "phase_in_obs", False))
+        self._use_queue = bool(getattr(cfg, "queue_in_obs", False))
         P_max = topo.phase_gate.shape[1]
-        base_ls = [len(ls) * (2 if self._use_wait else 1)
-                   for ls in topo.node_lanes]
+        n_chan = 1 + int(self._use_queue) + int(self._use_wait)
+        base_ls = [len(ls) * n_chan for ls in topo.node_lanes]
         n_s_ls = tuple(b + (n_a_ls[m] if self._use_phase else 0)
                        for m, b in enumerate(base_ls))
         dist = hop_distances(topo.node_adj)
@@ -122,23 +123,30 @@ class TrafficNetworkEnv(Env):
             neighbor_mask=topo.node_adj.astype(np.float32),
             distance_mask=dist, coop_gamma=cfg.coop_gamma)
         # obs gather [M, n_s_max] into the concatenated feature vector
-        # (wave [L] or wave;wait [2L]): each node's features are PACKED
-        # left-aligned — [wave_0..wave_{k-1}, wait_0..wait_{k-1},
-        # (phase one-hot), 0 pad] — so the first n_s_ls[i] dims are
-        # exactly node i's valid features (heterogeneous Monaco nodes
+        # (channels [wave(L); queue(L)?; wait(L)?]): each node's features
+        # are PACKED left-aligned — [wave_0..wave_{k-1}, (queue_*),
+        # (wait_*), (phase one-hot), 0 pad] — so the first n_s_ls[i] dims
+        # are exactly node i's valid features (heterogeneous Monaco nodes
         # included). Padded slots gather index 0 and are zero-masked.
-        width = max_lanes * (2 if self._use_wait else 1) + (
-            P_max if self._use_phase else 0)
+        width = max_lanes * n_chan + (P_max if self._use_phase else 0)
         gather = np.zeros((M, width), np.int64)
         gmask = np.zeros((M, width), np.float32)
         L = topo.n_lane
         for m, ls in enumerate(topo.node_lanes):
             k = len(ls)
+            chan = 0
             gather[m, :k] = ls
             gmask[m, :k] = 1.0
+            if self._use_queue:
+                chan += 1
+                gather[m, chan * k:(chan + 1) * k] = [L + l for l in ls]
+                gmask[m, chan * k:(chan + 1) * k] = 1.0
             if self._use_wait:
-                gather[m, k:2 * k] = [L + l for l in ls]
-                gmask[m, k:2 * k] = 1.0
+                chan += 1
+                off = int(self._use_queue) * L
+                gather[m, chan * k:(chan + 1) * k] = [L + off + l
+                                                      for l in ls]
+                gmask[m, chan * k:(chan + 1) * k] = 1.0
         self._gather = gather
         self._gmask = gmask
         if self._use_phase:
@@ -188,9 +196,12 @@ class TrafficNetworkEnv(Env):
         # (reference lane vehicle-count state, _get_state ~L340)
         wave = s.queue + s.transit.sum(0)
         feats = jnp.clip(wave / c.norm_wave, 0.0, c.clip_wave)
+        if self._use_queue:
+            qn = jnp.clip(s.queue / c.norm_wave, 0.0, c.clip_wave)
+            feats = jnp.concatenate([feats, qn])
         if self._use_wait:
             wt = jnp.clip(s.wait / c.norm_wait, 0.0, c.clip_wait)
-            feats = jnp.concatenate([feats, wt])           # [2L]
+            feats = jnp.concatenate([feats, wt])
         g = jnp.asarray(self._gather)
         gm = jnp.asarray(self._gmask)
         # packed per-agent: valid dims are the first n_s_ls[i] of each row
@@ -317,18 +328,47 @@ class TrafficNetworkEnv(Env):
 
     # ---- greedy baseline (reference LargeGridController/RealNetController)
 
-    def greedy_action(self, s: NetworkState, on: str = "wave") -> jax.Array:
+    def greedy_action(self, s: NetworkState, on: str = "wave",
+                      delta: float = 0.0) -> jax.Array:
         """Pick, per node, the valid phase serving the largest demand
         (reference greedy controllers, SURVEY.md section 2.2 items 7-8).
 
         ``on='wave'`` scores phases by all vehicles on the served lanes
         (queued + approaching) — the reference controller's input, the
         same observation the learned policies get. ``on='queue'`` scores
-        by stop-line queues only (serve only vehicles physically present);
-        evaluation reports the stronger of the two as the baseline."""
+        by stop-line queues only (serve only vehicles physically present).
+
+        ``delta > 0`` adds HYSTERESIS: keep the current phase unless the
+        best competing phase's score exceeds it by more than ``delta``
+        vehicles — every switch buys ``yellow_interval_sec`` of lost
+        discharge, so a small holding margin dominates the myopic argmax.
+        Delta-swept on the 5x5 grid defaults (results/README.md):
+        queue-scored delta=3 reaches -140k vs greedy argmax -277k. This is
+        the strongest hand controller and the bar every "learned beats the
+        baseline" claim in this repo compares against (VERDICT round 2,
+        Missing #6)."""
         gate = jnp.asarray(self.topo.phase_gate, jnp.float32)
         valid = jnp.asarray(self.topo.phase_valid, jnp.float32)
         x = s.queue if on == "queue" else s.queue + s.transit.sum(0)
         served = jnp.einsum("mpl,l->mp", gate, x)
         served = jnp.where(valid > 0, served, -jnp.inf)
-        return jnp.argmax(served, axis=-1).astype(jnp.int32)
+        best = jnp.argmax(served, axis=-1).astype(jnp.int32)
+        if delta <= 0:
+            return best
+        prev = s.prev_phase.astype(jnp.int32)
+        keep = jnp.take_along_axis(served, prev[:, None], 1)[:, 0]
+        top = jnp.take_along_axis(served, best[:, None], 1)[:, 0]
+        return jnp.where(top > keep + delta, best, prev).astype(jnp.int32)
+
+    def controller_action(self, s: NetworkState) -> jax.Array:
+        """The STRONGEST known hand controller for this env family:
+        queue-scored hysteresis at cfg.hysteresis_delta. All naive /
+        beats-baseline comparisons use this (plus the weaker greedy forms
+        as diagnostics); it is also the kickstart teacher."""
+        return self.greedy_action(s, on="queue",
+                                  delta=float(self.cfg.hysteresis_delta))
+
+    def prev_action(self, s: NetworkState) -> jax.Array:
+        """[M] previous control action (current signal phase) — used by
+        training-only switch-cost shaping (ModelConfig.switch_penalty)."""
+        return s.prev_phase

@@ -242,8 +242,11 @@ class Evaluator:
         carry traffic keys (ATSC); CACC keeps its per-step platoon series
         in episode_seed{s}.csv, the reference CACC output_data."""
         import csv as _csv
+        # guard set must cover EVERY key the writers below read (ADVICE
+        # round 2: throughput/dropped were read but not guarded)
         need = {"avg_queue", "avg_wait", "arrived", "entered", "action",
-                "reward", "total_queue", "total_transit"}
+                "reward", "total_queue", "total_transit", "throughput",
+                "dropped"}
         if not episodes or not need <= set(episodes[0][1]):
             return
         tag = f"{self.scenario}_{self.agent}" if self.agent else self.scenario

@@ -153,6 +153,57 @@ def test_phase_in_obs_layout():
     np.testing.assert_allclose(np.asarray(obs)[:, :12], np.asarray(o0))
 
 
+def test_queue_in_obs_layout():
+    """queue_in_obs: halted-count channel packs right after the wave
+    channel, normalized/clipped like wave; phase one-hot (if on) shifts
+    after it."""
+    cfg = EnvConfig(scenario="large_grid", episode_length_sec=300,
+                    queue_in_obs=True, phase_in_obs=True)
+    env = LargeGridEnv(cfg)
+    assert env.spec.n_s_ls == (12 + 12 + 5,) * 25
+    state, obs = env.reset(jax.random.key(0))
+    state = state.replace(queue=jnp.arange(state.queue.shape[0],
+                                           dtype=jnp.float32) % 7)
+    obs = env._obs(state)
+    obs = np.asarray(obs)
+    q = np.asarray(state.queue)
+    wave = q + np.asarray(state.transit.sum(0))
+    for m, ls in enumerate(env.topo.node_lanes):
+        np.testing.assert_allclose(
+            obs[m, :12], np.clip(wave[ls] / cfg.norm_wave, 0, cfg.clip_wave),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            obs[m, 12:24], np.clip(q[ls] / cfg.norm_wave, 0, cfg.clip_wave),
+            rtol=1e-6)
+    # phase one-hot right after the 24 lane features
+    np.testing.assert_allclose(obs[:, 24], 1.0)
+
+
+def test_hysteresis_controller_beats_greedy():
+    """Queue-scored hysteresis (the controller of record,
+    env.controller_action) must beat BOTH greedy argmax forms on the full
+    default episode — the measured ordering that makes it the baseline
+    every beats-greedy claim compares against (VERDICT r2 Missing #6)."""
+    from deeprl_network_tpu.envs.network import TrafficNetworkEnv
+
+    cfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
+    e = TrafficNetworkEnv(cfg, build_grid_topology(cfg, size=3))
+
+    def run(pol):
+        def body(c, _):
+            s = c
+            s, _, r, _, _ = e.step(s, pol(s))
+            return s, r.sum()
+        s0, _ = e.reset(jax.random.key(0))
+        _, rs = jax.lax.scan(body, s0, None, length=e.episode_steps)
+        return float(rs.sum())
+
+    hyst = run(jax.jit(e.controller_action))
+    greedy_q = run(jax.jit(lambda s: e.greedy_action(s, on="queue")))
+    greedy_w = run(jax.jit(lambda s: e.greedy_action(s, on="wave")))
+    assert hyst > greedy_q and hyst > greedy_w, (hyst, greedy_q, greedy_w)
+
+
 def test_phase_in_obs_monaco_heterogeneous():
     from deeprl_network_tpu.envs.monaco import RealNetEnv
     cfg = EnvConfig(scenario="real_net", episode_length_sec=300,
