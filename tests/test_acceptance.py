@@ -37,16 +37,15 @@ def _small_grid_env():
     from deeprl_network_tpu.envs.grid import build_grid_topology
 
     cfg = EnvConfig(scenario="large_grid", coop_gamma=0.9,
-                    episode_length_sec=720, clip_wave=8.0)
+                    episode_length_sec=720, clip_wave=8.0,
+                    phase_in_obs=True, queue_in_obs=True)
     return TrafficNetworkEnv(cfg, build_grid_topology(cfg, size=3)), cfg
 
 
-def _greedy_return(env, horizon, on="queue"):
-    import jax.numpy as jnp
-
+def _greedy_return(env, horizon, on="queue", delta=0.0):
     def body(c, _):
         state = c
-        a = env.greedy_action(state, on=on)
+        a = env.greedy_action(state, on=on, delta=delta)
         state, _, r, _, _ = env.step(state, a)
         return state, r.sum()
 
@@ -57,16 +56,21 @@ def _greedy_return(env, horizon, on="queue"):
 
 @slow
 def test_learned_beats_greedy_small_grid():
-    """Learned MA2C_NC > greedy controller (stronger of queue/wave forms)
-    on a 3x3 grid within a ~25M-step budget."""
+    """Learned MA2C_NC (round-3 recipe: phase+queue obs, kickstart toward
+    the hysteresis teacher annealed to 0 by half-budget) > greedy argmax
+    controller (stronger of queue/wave forms) on a 3x3 grid within a
+    ~25M-step budget. The stronger hysteresis bar needs the full 100M-step
+    run (results/ladder3_r3.jsonl: sampled -47.9k vs bar -50.3k); this
+    encodes the direction at CI-feasible cost."""
     env, cfg = _small_grid_env()
     horizon = env.episode_steps
     greedy = max(_greedy_return(env, horizon, "queue"),
                  _greedy_return(env, horizon, "wave"))
 
-    mcfg = ModelConfig(batch_size=120, num_envs=64, lr_init=1e-3,
+    mcfg = ModelConfig(batch_size=120, num_envs=64, lr_init=2.5e-3,
                        lr_decay="linear", entropy_coef=0.003,
-                       reward_norm=500.0)
+                       entropy_decay="linear", reward_norm=2000.0,
+                       kickstart_coef=1.0, kickstart_ratio=0.5)
     tcfg = TrainConfig(total_step=25_000_000)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
     ts = fns.init_state(jax.random.key(0))
