@@ -1,0 +1,57 @@
+"""Throughput A/B of the perf flags at the flagship shape (VERDICT r2
+task 5): f32 default vs bfloat16 compute vs the round-2 Pallas LSTM
+backward (in-kernel gate recompute), all in ONE process/TPU client so
+each variant pays its own compile but shares the tunnel session.
+
+    python scripts/bench_variants.py --out results/bench_variants_r3.jsonl
+
+Each row: {"variant": ..., "env_steps_per_s": N, "compile_s": N}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+VARIANTS = {
+    "f32": {},
+    "bf16": {"compute_dtype": "bfloat16"},
+    "f32_pallas": {"use_pallas": True},
+    "bf16_pallas": {"compute_dtype": "bfloat16", "use_pallas": True},
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seconds", type=float, default=20.0)
+    p.add_argument("--num-envs", type=int, default=512)
+    p.add_argument("--variants", default="f32,bf16,f32_pallas,bf16_pallas")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    sink = open(args.out, "a") if args.out else sys.stdout
+
+    def emit(row):
+        print(json.dumps(row), file=sink, flush=True)
+        if sink is not sys.stdout:
+            print(json.dumps(row), file=sys.stderr, flush=True)
+
+    from bench import measure_tpu
+
+    emit({"run": vars(args)})
+    for name in args.variants.split(","):
+        over = VARIANTS[name.strip()]
+        t0 = time.time()
+        sps, loss = measure_tpu(seconds_budget=args.seconds,
+                                num_envs=args.num_envs, **over)
+        emit({"variant": name, "env_steps_per_s": round(sps, 1),
+              "loss": round(loss, 3),
+              "total_s": round(time.time() - t0, 1)})
+
+
+if __name__ == "__main__":
+    main()
