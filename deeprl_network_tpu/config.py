@@ -84,24 +84,32 @@ class ModelConfig:
                                 # where the N^2 blocks stop fitting.
     use_pallas: bool = False    # run the per-agent LSTM cell as one fused
                                 # Pallas TPU kernel (ops/pallas_lstm.py,
-                                # custom VJP) instead of XLA's tail of
+                                # custom VJP, round-2 backward recomputes
+                                # gates in-kernel instead of spilling
+                                # residuals) instead of XLA's tail of
                                 # small batched matmuls + gate ops per
                                 # scan step. Equivalence tested; falls
                                 # back to interpret mode off-TPU.
-                                # Measured SLOWER on v5e at the flagship
-                                # shape (973k vs 1.148M steps/s at B=512):
-                                # the custom VJP spills 4 gate residuals
-                                # per step to HBM where XLA's fused
-                                # autodiff recomputes. Kept for shapes
-                                # where the cell dominates (large H).
+                                # Measured FASTER than the XLA f32 path
+                                # in the round-3 same-session A/B (834k
+                                # vs 574k steps/s at B=512,
+                                # results/bench_variants_r3.jsonl) but
+                                # still behind plain bf16 (1.22M), so it
+                                # stays opt-in. f32-only (see make_a2c
+                                # guard).
     compute_dtype: str = "float32"  # "bfloat16" runs the policy compute
                                 # path (obs embed, comm einsums, LSTM,
                                 # heads) in bf16 with f32 master params,
-                                # optimizer, returns and losses: the cell
-                                # matmuls are HBM-bandwidth-bound at
-                                # H=64, so halving the bytes buys real
-                                # throughput. Logits/values are cast
-                                # back to f32 before sampling/losses.
+                                # optimizer, returns and losses: matmuls
+                                # hit the bf16 MXU path and BPTT residual
+                                # bytes halve (docs/ROOFLINE.md).
+                                # Measured 2.1x the same-session f32
+                                # throughput at the flagship shape (1.22M
+                                # vs 574k steps/s, B=512, round 3 —
+                                # results/bench_variants_r3.jsonl), and
+                                # it is bench.py's measured config.
+                                # Logits/values are cast back to f32
+                                # before sampling/losses.
     switch_penalty: float = 0.0  # TRAINING-ONLY reward shaping (raw
                                 # reward units, applied before
                                 # normalization/spatial mixing): subtract

@@ -46,8 +46,12 @@ def main():
     for name in args.variants.split(","):
         over = VARIANTS[name.strip()]
         t0 = time.time()
-        sps, loss = measure_tpu(seconds_budget=args.seconds,
-                                num_envs=args.num_envs, **over)
+        try:
+            sps, loss = measure_tpu(seconds_budget=args.seconds,
+                                    num_envs=args.num_envs, **over)
+        except ValueError as e:  # unsupported combo (e.g. bf16+pallas)
+            emit({"variant": name, "unsupported": str(e)})
+            continue
         emit({"variant": name, "env_steps_per_s": round(sps, 1),
               "loss": round(loss, 3),
               "total_s": round(time.time() - t0, 1)})
