@@ -26,6 +26,12 @@ tests/test_pallas_ops.py (interpret mode).
 
 Use ``fused_agent_lstm(params, carry, x, done)`` as a drop-in for the
 vmapped ``lstm_step`` on TPU; interpret=True runs it anywhere.
+
+Dtype-generic: with bf16 inputs (compute_dtype="bfloat16") every matmul
+operand stays bf16 (the MXU's native rate) and the four per-step
+residuals halve in size, while gate math and the cross-tile weight-grad
+accumulators stay f32 in-kernel — the same numerics XLA's bf16 autodiff
+gives the unfused cell (tested to bf16 tolerance).
 """
 
 from __future__ import annotations
@@ -50,7 +56,12 @@ def _fwd_call(params, carry, x, done, interpret):
     H = h.shape[-1]
     BT = _pick_bt(B)
     grid = (N, B // BT)
-    done2 = done.reshape(B, 1)
+    # dtype-generic: bf16 inputs keep the matmuls on the bf16 MXU path
+    # and halve the residual bytes; accumulation/gate math stays f32
+    # in-kernel (preferred_element_type) either way, matching what XLA's
+    # own bf16 autodiff does on the unfused cell.
+    dt = x.dtype
+    done2 = done.astype(dt).reshape(B, 1)
     # agent-major layout [N, B, X]: each grid program (n, bt) reads one
     # agent's weight block and a BT-row batch tile
     xt = x.transpose(1, 0, 2)
@@ -72,25 +83,25 @@ def _fwd_call(params, carry, x, done, interpret):
     # outputs: h', c', and the masked inputs the backward kernel reuses
     out_specs = [pl.BlockSpec((1, BT, H), lambda n, bt: (n, bt, 0))
                  for _ in range(4)]
-    out_shape = [jax.ShapeDtypeStruct((N, B, H), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((N, B, H), dt)
                  for _ in range(4)]
 
     def kernel(x_r, h_r, c_r, d_r, wx_r, wh_r, b_r,
                h_out, c_out, hin_out, cin_out):
-        mask = 1.0 - d_r[...]                       # [BT, 1]
-        h_in = h_r[0] * mask
+        mask = (1.0 - d_r[...]).astype(dt)          # [BT, 1]
+        h_in = h_r[0] * mask                        # dt (matmul operand)
         c_in = c_r[0] * mask
         z = (jnp.dot(x_r[0], wx_r[0], preferred_element_type=jnp.float32)
              + jnp.dot(h_in, wh_r[0], preferred_element_type=jnp.float32)
-             + b_r[0])
+             + b_r[0].astype(jnp.float32))
         i = jax.nn.sigmoid(z[:, :H])
         f = jax.nn.sigmoid(z[:, H:2 * H])
         o = jax.nn.sigmoid(z[:, 2 * H:3 * H])
         u = jnp.tanh(z[:, 3 * H:])
-        c_new = f * c_in + i * u
+        c_new = f * c_in.astype(jnp.float32) + i * u
         h_new = o * jnp.tanh(c_new)
-        h_out[0] = h_new
-        c_out[0] = c_new
+        h_out[0] = h_new.astype(dt)
+        c_out[0] = c_new.astype(dt)
         hin_out[0] = h_in
         cin_out[0] = c_in
 
@@ -134,7 +145,8 @@ def _bwd_call(params, xt, h_in, c_in, c_new, done, dc_new, dh_new,
     # accumulation below revisits the same output block across bt, which
     # is only legal on the sequential TPU grid with this ordering
     grid = (N, B // BT)
-    done2 = done.reshape(B, 1)
+    dt = xt.dtype
+    done2 = done.astype(dt).reshape(B, 1)
 
     row = lambda n, bt: (n, bt, 0)
     blk = lambda k: pl.BlockSpec((1, BT, k), row)
@@ -154,10 +166,12 @@ def _bwd_call(params, xt, h_in, c_in, c_new, done, dc_new, dh_new,
         wblk(H),                                   # dwh (accumulated)
         pl.BlockSpec((1, 1, 4 * H), lambda n, bt: (n, 0, 0)),  # db (acc)
     ]
+    # activation grads flow in the compute dtype; weight grads ACCUMULATE
+    # across batch tiles in f32 (cast to the param dtype after the call)
     out_shape = [
-        jax.ShapeDtypeStruct((N, B, F), jnp.float32),
-        jax.ShapeDtypeStruct((N, B, H), jnp.float32),
-        jax.ShapeDtypeStruct((N, B, H), jnp.float32),
+        jax.ShapeDtypeStruct((N, B, F), dt),
+        jax.ShapeDtypeStruct((N, B, H), dt),
+        jax.ShapeDtypeStruct((N, B, H), dt),
         jax.ShapeDtypeStruct((N, F, 4 * H), jnp.float32),
         jax.ShapeDtypeStruct((N, H, 4 * H), jnp.float32),
         jax.ShapeDtypeStruct((N, 1, 4 * H), jnp.float32),
@@ -169,32 +183,35 @@ def _bwd_call(params, xt, h_in, c_in, c_new, done, dc_new, dh_new,
         # instead of four spilled [B, N, H] residuals per scan step)
         x_t = x_r[0]
         h_in_t = hin_r[0]
-        c_in_t = cin_r[0]
+        c_in_t = cin_r[0].astype(jnp.float32)
         z = (jnp.dot(x_t, wx_r[0], preferred_element_type=jnp.float32)
              + jnp.dot(h_in_t, wh_r[0], preferred_element_type=jnp.float32)
-             + b_r[0])
+             + b_r[0].astype(jnp.float32))
         i = jax.nn.sigmoid(z[:, :H])
         f = jax.nn.sigmoid(z[:, H:2 * H])
         o = jax.nn.sigmoid(z[:, 2 * H:3 * H])
         u = jnp.tanh(z[:, 3 * H:])
-        tc = jnp.tanh(cn_r[0])
-        dh_new = dhn_r[0]
-        dc = dh_new * o * (1.0 - tc * tc) + dcn_r[0]
-        # through the gate activations
+        tc = jnp.tanh(cn_r[0].astype(jnp.float32))
+        dh_new = dhn_r[0].astype(jnp.float32)
+        dc = dh_new * o * (1.0 - tc * tc) + dcn_r[0].astype(jnp.float32)
+        # through the gate activations (all f32)
         g_i = (dc * u) * i * (1.0 - i)
         g_f = (dc * c_in_t) * f * (1.0 - f)
         g_o = (dh_new * tc) * o * (1.0 - o)
         g_u = (dc * i) * (1.0 - u * u)
         gz = jnp.concatenate([g_i, g_f, g_o, g_u], axis=-1)   # [BT, 4H]
-        mask = 1.0 - d_r[...]                                 # [BT, 1]
-        dx_o[0] = jnp.dot(gz, wx_r[0].T,
-                          preferred_element_type=jnp.float32)
-        dh_o[0] = jnp.dot(gz, wh_r[0].T,
-                          preferred_element_type=jnp.float32) * mask
-        dc_o[0] = (dc * f) * mask
+        gz_dt = gz.astype(dt)          # matmul operand in compute dtype
+        mask = (1.0 - d_r[...]).astype(jnp.float32)           # [BT, 1]
+        dx_o[0] = jnp.dot(gz_dt, wx_r[0].T,
+                          preferred_element_type=jnp.float32).astype(dt)
+        dh_o[0] = (jnp.dot(gz_dt, wh_r[0].T,
+                           preferred_element_type=jnp.float32)
+                   * mask).astype(dt)
+        dc_o[0] = ((dc * f) * mask).astype(dt)
         # weight grads accumulate across batch tiles (sequential grid)
-        dwx_t = jnp.dot(x_t.T, gz, preferred_element_type=jnp.float32)
-        dwh_t = jnp.dot(h_in_t.T, gz, preferred_element_type=jnp.float32)
+        dwx_t = jnp.dot(x_t.T, gz_dt, preferred_element_type=jnp.float32)
+        dwh_t = jnp.dot(h_in_t.T, gz_dt,
+                        preferred_element_type=jnp.float32)
         db_t = jnp.sum(gz, axis=0, keepdims=True)
 
         @pl.when(pl.program_id(1) == 0)
@@ -227,7 +244,13 @@ def _fused_bwd(interpret, res, grads):
     dc_new, dh_new = grads
     dx, dh, dc_prev, dwx, dwh, db = _bwd_call(
         params, xt, h_in, c_in, c_new, done, dc_new, dh_new, interpret)
-    return (dwx, dwh, db), (dc_prev, dh), dx, None
+    # cotangent dtypes must match the primal params (bf16 under the bf16
+    # compute path — the f32 in-kernel accumulators are cast here, and
+    # the cast-to-compute-dtype op in _prep_params upcasts them back
+    # onto the f32 master params)
+    wx, wh, b = params
+    return ((dwx.astype(wx.dtype), dwh.astype(wh.dtype),
+             db.astype(b.dtype)), (dc_prev, dh), dx, None)
 
 
 fused_agent_lstm.defvjp(_fused_fwd, _fused_bwd)

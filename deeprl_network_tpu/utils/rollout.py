@@ -129,7 +129,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         max_grad_norm=mcfg.max_grad_norm)
 
     cdt = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else jnp.float32
-    if cdt != jnp.float32 and (mcfg.use_pallas or not mcfg.fused_grad):
+    if cdt != jnp.float32 and not mcfg.fused_grad:
         raise ValueError("compute_dtype=bfloat16 is supported on the "
                          "default fused-gradient path only")
     # training-only reward shaping / kickstarting (see ModelConfig)
@@ -174,8 +174,16 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         _interp = jax.default_backend() != "tpu"
 
         def vpstep(params, carry, obs, fp, done):
-            return policy_step_batched(spec, params, carry, obs, fp, done,
-                                       interpret=_interp)
+            # same input-cast rule as pstep: follow the PARAMS' dtype so
+            # a promoted-f32 embedding never changes the carry dtype
+            # across the scan (bf16 train vs f32 eval params)
+            pdt = params.w_obs.w.dtype
+            carry = jax.tree.map(lambda t: t.astype(pdt), carry)
+            carry2, logits, values = policy_step_batched(
+                spec, params, carry, obs.astype(pdt), fp.astype(pdt),
+                done, interpret=_interp)
+            return (carry2, logits.astype(jnp.float32),
+                    values.astype(jnp.float32))
     else:
         vpstep = jax.vmap(pstep, in_axes=(None, 0, 0, 0, 0))
 

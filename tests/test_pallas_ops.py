@@ -129,6 +129,70 @@ def test_policy_step_batched_matches_vmap():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_bf16_forward_matches_f32_reference():
+    """bf16 kernel (f32 gate math in-kernel) tracks the f32 reference
+    cell to bf16 tolerance."""
+    p, x, c, h, done = setup()
+    c_ref, h_ref = ref_step(p, c, h, x, done)
+    bf = lambda t: t.astype(jnp.bfloat16)
+    c_pal, h_pal = fused_agent_lstm((bf(p.wx), bf(p.wh), bf(p.b)),
+                                    (bf(c), bf(h)), bf(x), done, True)
+    assert c_pal.dtype == jnp.bfloat16 and h_pal.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.array(c_pal, np.float32),
+                               np.array(c_ref), atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.array(h_pal, np.float32),
+                               np.array(h_ref), atol=0.05, rtol=0.05)
+
+
+def test_bf16_gradients_match_f32_reference():
+    """bf16 kernel grads (f32 accumulation, bf16 cotangents) track the
+    f32 reference grads to bf16 tolerance, with matching dtypes."""
+    p, x, c, h, done = setup()
+
+    def loss_ref(wx, wh, b, c, h, x):
+        pp = LSTMParams(wx, wh, b)
+        c2, h2 = ref_step(pp, c, h, x, done)
+        return jnp.sum(h2 ** 2) + jnp.sum(jnp.sin(c2))
+
+    def loss_pal(wx, wh, b, c, h, x):
+        bf = lambda t: t.astype(jnp.bfloat16)
+        c2, h2 = fused_agent_lstm((bf(wx), bf(wh), bf(b)),
+                                  (bf(c), bf(h)), bf(x), done, True)
+        return (jnp.sum(h2.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(c2.astype(jnp.float32))))
+
+    args = (p.wx, p.wh, p.b, c, h, x)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    g_pal = jax.grad(loss_pal, argnums=tuple(range(6)))(*args)
+    for a, b_, name in zip(g_ref, g_pal,
+                           ["wx", "wh", "b", "c", "h", "x"]):
+        ref = np.array(a)
+        np.testing.assert_allclose(
+            np.array(b_, np.float32), ref,
+            atol=0.05 + 0.05 * np.abs(ref).max(), err_msg=name)
+
+
+def test_train_step_use_pallas_bf16_smoke():
+    """Full fused train step: bf16 compute + Pallas LSTM together."""
+    import numpy as np
+    from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
+    from deeprl_network_tpu.envs.cacc import CACCEnv
+    from deeprl_network_tpu.utils.rollout import make_a2c
+
+    ecfg = EnvConfig(scenario="cacc_catchup", coop_gamma=0.9,
+                     episode_length=40)
+    mcfg = ModelConfig(batch_size=8, num_fc=16, num_lstm=16, num_envs=4,
+                       use_pallas=True, compute_dtype="bfloat16")
+    tcfg = TrainConfig(total_step=10_000)
+    env = CACCEnv(ecfg)
+    fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
+    ts = fns.init_state(jax.random.key(0))
+    ts, m = fns.train_step(ts)
+    assert np.isfinite(float(m["loss"]))
+    # master params stay f32
+    assert ts.params.lstm.wx.dtype == jnp.float32
+
+
 def test_train_step_use_pallas_smoke():
     """Full fused train step with the Pallas LSTM cell (interpret on CPU)."""
     import dataclasses
