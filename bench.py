@@ -22,14 +22,15 @@ import numpy as np
 
 
 def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 512,
-                **mcfg_overrides):
+                grid_size: int = 5, **mcfg_overrides):
     import jax
 
     from deeprl_network_tpu.utils.compilation_cache import enable
     enable()
 
     from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
-    from deeprl_network_tpu.envs.grid import LargeGridEnv
+    from deeprl_network_tpu.envs.grid import LargeGridEnv, build_grid_topology
+    from deeprl_network_tpu.envs.network import TrafficNetworkEnv
     from deeprl_network_tpu.utils.rollout import make_a2c
 
     # throughput vs cold-compile tradeoff on v5e (the axon remote-compile
@@ -40,7 +41,12 @@ def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 512,
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
     mcfg = ModelConfig(batch_size=120, num_envs=num_envs, **mcfg_overrides)
     tcfg = TrainConfig(total_step=1_000_000)
-    env = LargeGridEnv(ecfg)
+    if grid_size != 5:
+        # N = grid_size^2 agents: the scaling shape where the dense
+        # [N,N] comm blocks stop being free and sparse_comm should win
+        env = TrafficNetworkEnv(ecfg, build_grid_topology(ecfg, grid_size))
+    else:
+        env = LargeGridEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
     t0 = time.perf_counter()
     ts = fns.init_state(jax.random.key(0))

@@ -22,6 +22,13 @@ VARIANTS = {
     "bf16": {"compute_dtype": "bfloat16"},
     "f32_pallas": {"use_pallas": True},
     "bf16_pallas": {"compute_dtype": "bfloat16", "use_pallas": True},
+    # 100-agent scaling shapes (10x10 grid, B=128 to hold global batch):
+    # dense [N,N] comm blocks vs K-packed sparse_comm at the N where the
+    # N^2 cost should finally dominate
+    "n100_bf16": {"compute_dtype": "bfloat16", "grid_size": 10,
+                  "num_envs": 128},
+    "n100_bf16_sparse": {"compute_dtype": "bfloat16", "grid_size": 10,
+                         "num_envs": 128, "sparse_comm": True},
 }
 
 
@@ -29,7 +36,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seconds", type=float, default=20.0)
     p.add_argument("--num-envs", type=int, default=512)
-    p.add_argument("--variants", default="f32,bf16,f32_pallas,bf16_pallas")
+    p.add_argument("--variants",
+                   default="f32,bf16,f32_pallas,bf16_pallas,"
+                           "n100_bf16,n100_bf16_sparse")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -44,11 +53,13 @@ def main():
 
     emit({"run": vars(args)})
     for name in args.variants.split(","):
-        over = VARIANTS[name.strip()]
+        over = dict(VARIANTS[name.strip()])
+        kw = dict(seconds_budget=args.seconds,
+                  num_envs=over.pop("num_envs", args.num_envs),
+                  grid_size=over.pop("grid_size", 5))
         t0 = time.time()
         try:
-            sps, loss = measure_tpu(seconds_budget=args.seconds,
-                                    num_envs=args.num_envs, **over)
+            sps, loss = measure_tpu(**kw, **over)
         except ValueError as e:  # unsupported combo (e.g. bf16+pallas)
             emit({"variant": name, "unsupported": str(e)})
             continue
