@@ -41,6 +41,7 @@ def main():
     p.add_argument("--seeds", default="0,1,2")
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--entropy", type=float, default=0.01)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -60,6 +61,7 @@ def main():
         env = CACCEnv(EnvConfig(scenario=args.scenario, coop_gamma=coop))
         mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
                            reward_norm=1000.0, lr_init=args.lr,
+                           entropy_coef=args.entropy,
                            lr_decay="linear")
         tcfg = TrainConfig(total_step=args.steps)
         fns = make_a2c(env, mcfg, tcfg, agent=agent)
