@@ -107,6 +107,61 @@ def plot_families(path, out, baseline=None):
     print("wrote", out)
 
 
+def plot_cacc(path, out):
+    """CACC family-sweep jsonl: per-seed collision-rate curves (log y —
+    the discriminative metric) and final eval episode length."""
+    import json
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    series, finals = {}, {}
+    for r in rows:
+        if "agent" not in r:
+            continue
+        if r.get("final"):
+            finals.setdefault(r["agent"], []).append(
+                r.get("eval_episode_len", np.nan))
+        elif "step" in r and "collision_rate" in r:
+            series.setdefault((r["agent"], r.get("seed", 0)), []).append(
+                (r["step"], max(r["collision_rate"], 1e-5)))
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    order = [a for a in FAMILY_COLORS if any(k[0] == a for k in series)]
+    for agent in order:
+        c = FAMILY_COLORS[agent]
+        first = True
+        for (a, s), pts in sorted(series.items()):
+            if a != agent:
+                continue
+            xs, ys = zip(*sorted(pts))
+            axes[0].plot(xs, ys, color=c, lw=1.2, alpha=0.75,
+                         label=agent if first else None)
+            first = False
+    axes[0].set_yscale("log")
+    axes[0].set_xlabel("env steps")
+    axes[0].set_ylabel("collision rate / step (training, log)")
+    axes[0].set_title(os.path.splitext(os.path.basename(path))[0])
+    axes[0].legend(fontsize=8)
+    have = [a for a in order if a in finals]
+    pos = np.arange(len(have))
+    axes[1].bar(pos, [float(np.mean(finals[a])) for a in have], 0.62,
+                color=[FAMILY_COLORS[a] for a in have])
+    for i, a in enumerate(have):
+        for v in finals[a]:
+            axes[1].plot(i, v, "o", ms=4, mfc="white", mec="#333333",
+                         mew=0.8)
+    axes[1].axhline(600, color="#444444", lw=1.2, ls="--")
+    axes[1].text(0.02, 600, " full episode (600)", fontsize=8,
+                 color="#444444", va="bottom",
+                 transform=axes[1].get_yaxis_transform())
+    axes[1].set_xticks(pos, have, rotation=20, fontsize=8)
+    axes[1].set_ylabel("final eval episode length (dots = seeds)")
+    axes[1].set_title("sampled eval: surviving the slow-down")
+    for ax in axes:
+        ax.grid(alpha=0.25)
+        ax.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--runs", nargs="*", default=[],
@@ -116,12 +171,18 @@ def main():
     p.add_argument("--families", default=None,
                    help="family-sweep jsonl (one figure: curves + final "
                         "eval bars vs the hand-controller bar)")
+    p.add_argument("--cacc", default=None,
+                   help="CACC family-sweep jsonl (collision curves + "
+                        "final eval episode length)")
     p.add_argument("--out", default="training_curves.png")
     p.add_argument("--metric", default="episode_return")
     args = p.parse_args()
 
     if args.families:
         plot_families(args.families, args.out)
+        return
+    if args.cacc:
+        plot_cacc(args.cacc, args.out)
         return
 
     fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
