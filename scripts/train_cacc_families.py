@@ -42,6 +42,13 @@ def main():
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--entropy", type=float, default=0.01)
+    p.add_argument("--collision-penalty", type=float, default=1000.0,
+                   help="raw crash penalty (EnvConfig.collision_penalty). "
+                        "At the 1000 default with reward_norm=1000 the "
+                        "post-norm penalty (-1) is worth only ~50 steps "
+                        "of good tracking cost, which makes the "
+                        "crash-early attractor return-competitive with "
+                        "surviving - see results/README.md CACC analysis")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -58,7 +65,8 @@ def main():
     for agent in args.agents.split(","):
         agent = agent.strip()
         coop = -1.0 if agent in ("ia2c", "ia2c_fp") else 0.9
-        env = CACCEnv(EnvConfig(scenario=args.scenario, coop_gamma=coop))
+        env = CACCEnv(EnvConfig(scenario=args.scenario, coop_gamma=coop,
+                                collision_penalty=args.collision_penalty))
         mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
                            reward_norm=1000.0, lr_init=args.lr,
                            entropy_coef=args.entropy,
