@@ -94,15 +94,24 @@ def test_learned_beats_greedy_small_grid():
 
 
 @slow
-def test_cacc_slowdown_discrimination():
-    """IA2C collision rate >> MA2C_NC collision rate on CACC slow-down at
-    a 2M-step budget (>= 5x; measured round 1: ~75x)."""
+def test_cacc_catchup_parity():
+    """IA2C and MA2C_NC both master CACC catch-up within 2M steps: zero
+    (<=5e-3) collision rate, near-full episodes, headway near h*=20 m —
+    the paper's CACC convergence behavior (SURVEY Appendix C test 4),
+    robust across seeds (round-3: 0 collisions / 600-step episodes /
+    ~1.2 m error on 3x2 TPU runs at 10M, results/cacc_catchup_r3.jsonl).
+
+    This REPLACES the round-1 slow-down discrimination bar
+    (IA2C >> MA2C_NC collisions): that claim was single-seed luck and
+    inverts at 3 seeds x 10M — on this engine the slow-down crash
+    regime is a return-preferred absorbing attractor at the default
+    collision-penalty scale, and which families escape it is seed
+    lottery (analysis + probes: results/README.md CACC slow-down)."""
     from deeprl_network_tpu.envs.cacc import CACCEnv
 
-    rates = {}
     for agent in ("ia2c", "ma2c_nc"):
         coop = 0.9 if agent.startswith("ma2c") else -1.0
-        env = CACCEnv(EnvConfig(scenario="cacc_slowdown", coop_gamma=coop))
+        env = CACCEnv(EnvConfig(scenario="cacc_catchup", coop_gamma=coop))
         mcfg = ModelConfig(batch_size=120, num_envs=64, reward_norm=1000.0)
         tcfg = TrainConfig(total_step=2_000_000)
         fns = make_a2c(env, mcfg, tcfg, agent=agent)
@@ -112,6 +121,12 @@ def test_cacc_slowdown_discrimination():
             ts, m = fns.train_step(ts)
             window.append(m)
             window = window[-10:]
-        rates[agent] = float(np.mean(
+        coll = float(np.mean(
             [np.asarray(m["env/collision"]) for m in window]))
-    assert rates["ia2c"] > 5.0 * max(rates["ma2c_nc"], 1e-5), rates
+        eplen = float(np.mean(
+            [np.asarray(m["episode_len"]) for m in window]))
+        herr = float(np.mean(
+            [np.asarray(m["env/headway_err"]) for m in window]))
+        assert coll <= 5e-3, (agent, coll)
+        assert eplen >= 500.0, (agent, eplen)
+        assert herr <= 3.0, (agent, herr)
