@@ -124,8 +124,8 @@ def main():
     baseline_sps = measure_baseline()
     print(f"baseline (reference-style host loop): {baseline_sps:.1f} "
           f"env-steps/s", file=sys.stderr)
-    # bf16 compute is the measured-best config: 2.1x the same-session
-    # f32 throughput at this shape (results/bench_variants_r3.jsonl;
+    # bf16 compute is the measured-best config: 1.224M vs 1.074M f32 at
+    # this shape on a clean chip (results/bench_variants_r3_clean.jsonl;
     # analytic account in docs/ROOFLINE.md)
     sps, loss = measure_tpu(compute_dtype="bfloat16")
     print(f"fused TPU train step: {sps:.1f} env-steps/s/chip "

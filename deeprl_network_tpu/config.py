@@ -78,10 +78,12 @@ class ModelConfig:
                                 # fewer comm FLOPs (6x on the 5x5 grid).
                                 # Measured NEUTRAL on v5e at the flagship
                                 # shape (1.154M vs 1.148M steps/s at
-                                # B=512): the dense blocked einsum is not
-                                # the bottleneck there. Off by default;
-                                # intended for much larger/sparser graphs
-                                # where the N^2 blocks stop fitting.
+                                # B=512) but DECISIVE at N=100: 217k vs
+                                # 48k steps/s on the 10x10 grid at bf16
+                                # (4.5x; bench_variants_r3_clean.jsonl
+                                # n100 rows). Off by default; turn it on
+                                # for large/sparse graphs where the N^2
+                                # blocks stop paying.
     use_pallas: bool = False    # run the per-agent LSTM cell as one fused
                                 # Pallas TPU kernel (ops/pallas_lstm.py,
                                 # custom VJP, round-2 backward recomputes
@@ -90,24 +92,26 @@ class ModelConfig:
                                 # small batched matmuls + gate ops per
                                 # scan step. Equivalence tested; falls
                                 # back to interpret mode off-TPU.
-                                # Measured FASTER than the XLA f32 path
-                                # in the round-3 same-session A/B (834k
-                                # vs 574k steps/s at B=512,
-                                # results/bench_variants_r3.jsonl) but
-                                # still behind plain bf16 (1.22M), so it
-                                # stays opt-in. f32-only (see make_a2c
-                                # guard).
+                                # Clean exclusive-chip A/B (round 3,
+                                # results/bench_variants_r3_clean.jsonl,
+                                # B=512): f32+pallas 833k vs XLA f32
+                                # 1.074M; bf16+pallas 909k vs XLA bf16
+                                # 1.224M — XLA's fused autodiff still
+                                # wins at H=64, so the flag stays
+                                # opt-in for large-H shapes. The kernel
+                                # is dtype-generic (bf16 I/O, f32
+                                # accumulation).
     compute_dtype: str = "float32"  # "bfloat16" runs the policy compute
                                 # path (obs embed, comm einsums, LSTM,
                                 # heads) in bf16 with f32 master params,
                                 # optimizer, returns and losses: matmuls
                                 # hit the bf16 MXU path and BPTT residual
                                 # bytes halve (docs/ROOFLINE.md).
-                                # Measured 2.1x the same-session f32
-                                # throughput at the flagship shape (1.22M
-                                # vs 574k steps/s, B=512, round 3 —
-                                # results/bench_variants_r3.jsonl), and
-                                # it is bench.py's measured config.
+                                # Measured +14% over f32 at the flagship
+                                # shape on a clean chip (1.224M vs
+                                # 1.074M steps/s, B=512, round 3 —
+                                # results/bench_variants_r3_clean.jsonl)
+                                # and is bench.py's config of record.
                                 # Logits/values are cast back to f32
                                 # before sampling/losses.
     switch_penalty: float = 0.0  # TRAINING-ONLY reward shaping (raw
