@@ -212,6 +212,10 @@ def _bwd_call(params, xt, h_in, c_in, c_new, done, dc_new, dh_new,
         dwx_t = jnp.dot(x_t.T, gz_dt, preferred_element_type=jnp.float32)
         dwh_t = jnp.dot(h_in_t.T, gz_dt,
                         preferred_element_type=jnp.float32)
+        # db intentionally sums the f32 gz (dwx/dwh use the bf16 cast
+        # gz_dt because they are MXU matmuls; the bias grad is a plain
+        # reduction with no MXU benefit from casting, so it keeps the
+        # strictly-more-accurate f32 operand)
         db_t = jnp.sum(gz, axis=0, keepdims=True)
 
         @pl.when(pl.program_id(1) == 0)

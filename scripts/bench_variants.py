@@ -60,7 +60,12 @@ def main():
         t0 = time.time()
         try:
             sps, loss = measure_tpu(**kw, **over)
-        except ValueError as e:  # unsupported combo (e.g. bf16+pallas)
+        except ValueError as e:
+            # the only remaining unsupported combo is bf16 with
+            # fused_grad=False (bf16+pallas is supported since r3); any
+            # other ValueError is a genuine config error — re-raise it
+            if "fused-gradient path only" not in str(e):
+                raise
             emit({"variant": name, "unsupported": str(e)})
             continue
         emit({"variant": name, "env_steps_per_s": round(sps, 1),

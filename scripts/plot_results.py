@@ -43,7 +43,7 @@ FAMILY_COLORS = {
 }
 
 
-def plot_families(path, out, baseline=None):
+def plot_families(path, out):
     """One figure per family-sweep jsonl (train_atsc_families.py /
     train_cacc_families.py): per-seed thin training curves + per-family
     mean, final sampled eval vs the hand-controller bar."""
@@ -64,7 +64,11 @@ def plot_families(path, out, baseline=None):
             series.setdefault(key, []).append(
                 (r["step"], r["episode_return"]))
     fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
-    order = [a for a in FAMILY_COLORS if any(k[0] == a for k in series)]
+    # union of families seen anywhere: a family that logged only `final`
+    # eval rows (no training curve) must still reach the bar panel
+    # (ADVICE round 3)
+    order = [a for a in FAMILY_COLORS
+             if any(k[0] == a for k in series) or a in finals]
     for agent in order:
         c = FAMILY_COLORS[agent]
         for (a, s), pts in series.items():
@@ -123,7 +127,8 @@ def plot_cacc(path, out):
             series.setdefault((r["agent"], r.get("seed", 0)), []).append(
                 (r["step"], max(r["collision_rate"], 1e-5)))
     fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
-    order = [a for a in FAMILY_COLORS if any(k[0] == a for k in series)]
+    order = [a for a in FAMILY_COLORS
+             if any(k[0] == a for k in series) or a in finals]
     for agent in order:
         c = FAMILY_COLORS[agent]
         first = True
