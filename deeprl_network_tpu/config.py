@@ -133,6 +133,14 @@ class ModelConfig:
                                 # (kickstarting; training-only, the
                                 # evaluated policy is the network alone).
     kickstart_ratio: float = 0.5
+    scan_unroll: int = 1        # unroll factor for the T-step rollout
+                                # scan. >1 amortizes per-iteration scan
+                                # overhead (the roofline charges ~150us x
+                                # 240 iterations/update at the flagship
+                                # shape) at the price of a longer XLA
+                                # compile; measured on v5e in round 4
+                                # (results/bench_variants_r4.jsonl)
+                                # before changing any default.
     fused_grad: bool = True     # differentiate through the rollout scan
                                 # itself (one T-step scan/update) instead
                                 # of replaying the window for BPTT (two

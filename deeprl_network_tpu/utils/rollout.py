@@ -38,10 +38,11 @@ from deeprl_network_tpu.models.policies import (
 )
 from deeprl_network_tpu.utils.scheduler import make_schedule
 
-# unroll factor for the T-step rollout scan. Measured on TPU v5e: >1
-# multiplies XLA compile time by minutes (the body contains the full env
-# step + policy) for marginal steady-state gain — throughput is better
-# bought with a larger env batch B. Keep 1.
+# default unroll factor for the T-step rollout scan (override per run
+# via ModelConfig.scan_unroll). Measured on TPU v5e f32: >1 multiplies
+# XLA compile time by minutes (the body contains the full env step +
+# policy) for marginal steady-state gain — throughput is better bought
+# with a larger env batch B. Keep 1.
 _ROLLOUT_UNROLL = 1
 
 
@@ -114,6 +115,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
             f"(60 -> >10min vs 120 -> ~100s on v5e). Prefer a multiple "
             f"of 8.", stacklevel=2)
     consensus = agent == "ia2c_cu"
+    unroll = max(int(getattr(mcfg, "scan_unroll", _ROLLOUT_UNROLL)), 1)
     D = env.spec.spatial_discount()
     gamma = mcfg.gamma
     # one optimizer update consumes T steps x B envs x replicas GLOBAL
@@ -299,7 +301,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
                   ts.prev_done, ts.key, ts.ep_ret, ts.ep_len,
                   ts.last_ep_ret, ts.last_ep_len)
         carry1, outs = jax.lax.scan(rollout_body, carry0, None, length=T,
-                                    unroll=_ROLLOUT_UNROLL)
+                                    unroll=unroll)
         (_, env_state, obs_f, fp_f, lcarry_f, done_f, key,
          ep_ret, ep_len, last_ret, last_len) = carry1
         (obs_seq, fp_seq, pdone_seq, act_seq, rew_seq, val_seq, done_seq,
@@ -365,7 +367,7 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
                       ts.key, ts.ep_ret, ts.ep_len, ts.last_ep_ret,
                       ts.last_ep_len)
             carry1, outs = jax.lax.scan(body, carry0, None, length=T,
-                                        unroll=_ROLLOUT_UNROLL)
+                                        unroll=unroll)
             (env_state, obs_f, fp_f, lcarry_f, done_f, key,
              ep_ret, ep_len, last_ret, last_len) = carry1
             val_seq, done_seq = outs["val"], outs["done"]

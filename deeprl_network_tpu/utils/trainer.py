@@ -135,9 +135,14 @@ class Trainer:
                 jax.block_until_ready(metrics["loss"])
                 updates_since_sync = 0
             if self.counter.should_log():
-                m = {k: float(np.mean([np.asarray(w[k]) for w in
-                                       window_metrics]))
-                     for k in window_metrics[-1]}
+                # ONE batched device->host fetch for the whole window:
+                # per-scalar np.asarray calls each pay a full tunnel
+                # round-trip on the remote-TPU (axon) path, which at a
+                # 2M-step log interval added ~100s/interval of pure
+                # transfer latency (round-4 CLI-vs-bench investigation)
+                window = jax.device_get(window_metrics)
+                m = {k: float(np.mean([w[k] for w in window]))
+                     for k in window[-1]}
                 now = time.time()
                 sps = (self.counter.cur_step - last_step) / max(
                     now - last_t, 1e-9)
@@ -165,8 +170,9 @@ class Trainer:
         for s in self.cfg.env.test_seeds:
             # sampled policy, matching the reference's perform()/Evaluator
             # (actions drawn from pi host-side; SURVEY.md section 3.3)
-            out = self.fns.eval_episode(ts.params, jax.random.key(int(s)),
-                                        None, False)
+            out = jax.device_get(
+                self.fns.eval_episode(ts.params, jax.random.key(int(s)),
+                                      None, False))
             rows.append({k: float(v) for k, v in out.items()})
         avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         avg["step"] = self.counter.cur_step

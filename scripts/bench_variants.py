@@ -29,6 +29,18 @@ VARIANTS = {
                   "num_envs": 128},
     "n100_bf16_sparse": {"compute_dtype": "bfloat16", "grid_size": 10,
                          "num_envs": 128, "sparse_comm": True},
+    # round-4 roofline chase (VERDICT r3 task 5): the B knee and the
+    # scan-unroll factor were both fixed from f32-era measurements —
+    # re-measure them at bf16, where the per-iteration overhead and HBM
+    # residual mix is different
+    "bf16_b256": {"compute_dtype": "bfloat16", "num_envs": 256},
+    "bf16_b768": {"compute_dtype": "bfloat16", "num_envs": 768},
+    "bf16_b1024": {"compute_dtype": "bfloat16", "num_envs": 1024},
+    "bf16_b2048": {"compute_dtype": "bfloat16", "num_envs": 2048},
+    "bf16_unroll2": {"compute_dtype": "bfloat16", "scan_unroll": 2},
+    "bf16_unroll4": {"compute_dtype": "bfloat16", "scan_unroll": 4},
+    "bf16_b1024_unroll2": {"compute_dtype": "bfloat16", "num_envs": 1024,
+                           "scan_unroll": 2},
 }
 
 
@@ -67,6 +79,10 @@ def main():
             if "fused-gradient path only" not in str(e):
                 raise
             emit({"variant": name, "unsupported": str(e)})
+            continue
+        except Exception as e:  # e.g. device OOM at the largest B —
+            # record it and keep the rest of the sweep alive
+            emit({"variant": name, "error": f"{type(e).__name__}: {e}"[:400]})
             continue
         emit({"variant": name, "env_steps_per_s": round(sps, 1),
               "loss": round(loss, 3),
