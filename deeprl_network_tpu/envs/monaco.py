@@ -5,9 +5,10 @@ The reference drives an OSM-derived Monaco subnet (~28 signalized nodes,
 heterogeneous 2-6 phase action spaces, hand-written neighbor_map) through
 SUMO. The OSM data is unavailable (empty reference mount) and SUMO is gone
 by design, so this module ships a *fixed, deterministic* irregular network
-with the same task structure: 28 signalized nodes on an irregular planar
-graph (mixed degree 2-4), per-node heterogeneous action counts (2-6
-phases), heterogeneous observation sizes, boundary demand with the
+with the published network's structure (see DEFAULT_DATA below): 28
+signalized nodes on an irregular planar graph (degree 1-4, boundary
+spurs), per-node heterogeneous action counts (explicit phase tables,
+2-6 actions), heterogeneous observation sizes, boundary demand with the
 peak_flow1/peak_flow2 profiles, all running on the generic
 store-and-forward engine (envs/network.py).
 
@@ -28,31 +29,15 @@ import numpy as np
 from deeprl_network_tpu.config import EnvConfig
 from deeprl_network_tpu.envs.network import NetworkTopology, TrafficNetworkEnv
 
-# 28 nodes with fixed planar coordinates (irregular, Monaco-like coastal
-# strip shape) and hand-written undirected edges. Deterministic data — the
-# "real_net_data" of this rebuild.
-NODE_XY = np.array([
-    (0.0, 0.0), (1.0, 0.2), (2.0, 0.0), (3.0, 0.3), (4.0, 0.1),
-    (5.0, 0.4), (6.0, 0.2), (0.4, 1.0), (1.5, 1.1), (2.5, 0.9),
-    (3.5, 1.2), (4.5, 1.0), (5.5, 1.1), (6.3, 1.0), (0.8, 2.0),
-    (1.8, 2.1), (2.8, 1.9), (3.8, 2.2), (4.8, 2.0), (5.8, 2.1),
-    (1.2, 3.0), (2.2, 3.1), (3.2, 2.9), (4.2, 3.2), (5.2, 3.0),
-    (2.6, 4.0), (3.6, 4.1), (4.6, 3.9),
-])
-
-EDGES = [
-    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
-    (0, 7), (1, 8), (2, 9), (3, 10), (4, 11), (5, 12), (6, 13),
-    (7, 8), (8, 9), (9, 10), (10, 11), (11, 12), (12, 13),
-    (7, 14), (9, 16), (10, 17), (12, 19),
-    (14, 15), (15, 16), (16, 17), (17, 18), (18, 19),
-    (14, 20), (16, 22), (18, 24),
-    (20, 21), (21, 22), (22, 23), (23, 24),
-    (21, 25), (23, 26), (24, 27), (25, 26), (26, 27),
-]
-
-# boundary nodes with external demand/exit connections
-ENTRY_NODES = [0, 6, 13, 20, 25, 27, 2, 4]
+# The default graph ships as checked-in data (the "real_net_data" of
+# this rebuild): real_net_data/monaco_28.json, matching the published
+# Monaco network's STRUCTURE — 28 signalized nodes [H], irregular
+# planar coastal-strip graph (degree histogram {1:4, 2:8, 3:14, 4:2},
+# including boundary spurs characteristic of OSM signal subnets) and
+# heterogeneous explicit phase tables with n_a spanning 2-6 (histogram
+# {2:8, 3:8, 4:6, 5:4, 6:2}) [M] — see the JSON's _provenance field and
+# tests/test_monaco_env.py::test_default_topology_structure.
+DEFAULT_DATA = __file__.rsplit("/", 1)[0] + "/real_net_data/monaco_28.json"
 
 EXT = -1  # virtual exterior neighbor id
 
@@ -85,13 +70,15 @@ def load_network_data(path: str):
     return node_xy, edges, entry_nodes, phases
 
 
+# the default graph, loaded once at import (kept as module attributes for
+# introspection/tests; build_monaco_topology re-reads the file so a
+# cfg.network_data drop-in never sees stale state)
+NODE_XY, EDGES, ENTRY_NODES, DEFAULT_PHASES = load_network_data(DEFAULT_DATA)
+
+
 def build_monaco_topology(cfg: EnvConfig) -> NetworkTopology:
-    phase_override = {}
-    if getattr(cfg, "network_data", ""):
-        node_xy, edges, entry_nodes, phase_override = load_network_data(
-            cfg.network_data)
-    else:
-        node_xy, edges, entry_nodes = NODE_XY, EDGES, ENTRY_NODES
+    node_xy, edges, entry_nodes, phase_override = load_network_data(
+        getattr(cfg, "network_data", "") or DEFAULT_DATA)
     M = len(node_xy)
     nbrs: List[List[int]] = [[] for _ in range(M)]
     for a, b in edges:

@@ -106,6 +106,38 @@ def test_hybrid_obs_packed_per_node():
         np.testing.assert_allclose(obs[i, 2 * k:], 0.0)
 
 
+def test_default_topology_structure(env):
+    """Pin the checked-in monaco_28.json to the published network's
+    structure (SURVEY 2.2 item 8; confidence markers in the JSON's
+    _provenance): 28 nodes [H], degree histogram {1:4, 2:8, 3:14, 4:2}
+    with boundary spurs, n_a histogram {2:8, 3:8, 4:6, 5:4, 6:2}
+    spanning 2-6 [M], connected planar graph, degree-1 nodes are
+    entries (else they would have a single degenerate phase)."""
+    from collections import Counter
+
+    from deeprl_network_tpu.envs.monaco import EDGES, ENTRY_NODES
+
+    deg = Counter()
+    nbrs = {n: [] for n in range(28)}
+    for a, b in EDGES:
+        deg[a] += 1
+        deg[b] += 1
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    assert dict(Counter(deg.values())) == {1: 4, 2: 8, 3: 14, 4: 2}
+    assert dict(Counter(env.n_a_ls)) == {2: 8, 3: 8, 4: 6, 5: 4, 6: 2}
+    for n, d in deg.items():
+        if d == 1:
+            assert n in ENTRY_NODES
+    seen, stack = {0}, [0]
+    while stack:
+        for y in nbrs[stack.pop()]:
+            if y not in seen:
+                seen.add(y)
+                stack.append(y)
+    assert len(seen) == 28
+
+
 def test_network_data_loader_roundtrip(tmp_path):
     """External graph loader (reference real_net_data drop-in): dumping
     the synthetic graph to the documented JSON schema and loading it back
@@ -115,12 +147,13 @@ def test_network_data_loader_roundtrip(tmp_path):
     import json
 
     from deeprl_network_tpu.envs.monaco import (
-        EDGES, ENTRY_NODES, NODE_XY, build_monaco_topology)
+        DEFAULT_PHASES, EDGES, ENTRY_NODES, NODE_XY, build_monaco_topology)
 
     path = tmp_path / "net.json"
     data = {"nodes": [{"x": float(x), "y": float(y)} for x, y in NODE_XY],
             "edges": [list(e) for e in EDGES],
-            "entry_nodes": list(ENTRY_NODES)}
+            "entry_nodes": list(ENTRY_NODES),
+            "phases": {str(k): v for k, v in DEFAULT_PHASES.items()}}
     path.write_text(json.dumps(data))
 
     cfg = EnvConfig(scenario="real_net", episode_length_sec=300)
