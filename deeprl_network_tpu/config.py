@@ -255,11 +255,19 @@ class EnvConfig:
                                      # delta-swept on the 5x5 defaults:
                                      # 3.0 is the strongest (results/
                                      # README.md controller table)
+    hysteresis_on: str = "queue"     # scoring form of controller_action
+                                     # (the bar/teacher/naive
+                                     # controller): "queue" = stop-line
+                                     # queues only, "wave" = queued +
+                                     # in-transit. Queue wins on the 5x5
+                                     # grid; the Monaco-28 topology's
+                                     # delta sweep favors wave at large
+                                     # delta (results/README.md).
     network_data: str = ""           # optional JSON graph file for the
                                      # real_net scenario (real OSM data
                                      # drop-in; see monaco.py
                                      # load_network_data). Default:
-                                     # synthetic deterministic graph.
+                                     # the checked-in monaco_28.json.
 
     @property
     def episode_steps_atsc(self) -> int:

@@ -362,10 +362,12 @@ class TrafficNetworkEnv(Env):
 
     def controller_action(self, s: NetworkState) -> jax.Array:
         """The STRONGEST known hand controller for this env family:
-        queue-scored hysteresis at cfg.hysteresis_delta. All naive /
+        hysteresis at cfg.hysteresis_delta, scored on
+        cfg.hysteresis_on ("queue" on the grid, "wave" on Monaco-28 —
+        per-scenario delta/form sweeps in results/README.md). All naive /
         beats-baseline comparisons use this (plus the weaker greedy forms
         as diagnostics); it is also the kickstart teacher."""
-        return self.greedy_action(s, on="queue",
+        return self.greedy_action(s, on=str(self.cfg.hysteresis_on),
                                   delta=float(self.cfg.hysteresis_delta))
 
     def prev_action(self, s: NetworkState) -> jax.Array:

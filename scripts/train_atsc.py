@@ -38,14 +38,18 @@ def build_env(scenario: str, agent: str, clip_wave: float,
     # reference coop_gamma: MA2C families use spatial discounting; IA2C
     # and IA2C_FP use the global reward (coop_gamma < 0)
     coop = -1.0 if agent in ("ia2c", "ia2c_fp") else 0.9
-    # strongest measured hysteresis margin per scenario (delta sweeps in
-    # results/README.md): grid 3.0, monaco 2.0 — sets controller_action,
-    # i.e. both the kickstart teacher and the naive-eval controller
+    # strongest measured hysteresis form per scenario (delta/form sweeps
+    # in results/README.md): grid queue-d3; Monaco-28 wave-d4 (the r4
+    # topology's sweep peaks at wave delta 4, falling by d5) — sets
+    # controller_action, i.e. both the kickstart teacher and the
+    # naive-eval controller
     if hysteresis_delta is None:
-        hysteresis_delta = 3.0 if scenario == "grid" else 2.0
+        hysteresis_delta = 3.0 if scenario == "grid" else 4.0
+    hysteresis_on = "queue" if scenario == "grid" else "wave"
     kw = dict(coop_gamma=coop, clip_wave=clip_wave,
               link_delay_sec=link_delay, phase_in_obs=phase_in_obs,
-              queue_in_obs=queue_in_obs, hysteresis_delta=hysteresis_delta)
+              queue_in_obs=queue_in_obs, hysteresis_delta=hysteresis_delta,
+              hysteresis_on=hysteresis_on)
     if scenario == "grid":
         from deeprl_network_tpu.envs.grid import (LargeGridEnv,
                                                   build_grid_topology)
@@ -69,7 +73,7 @@ def greedy_returns(env, seeds, horizon):
     is not the per-scenario optimum."""
     out = {}
     forms = [("queue", "queue", 0.0), ("wave", "wave", 0.0)]
-    for d in (1.0, 2.0, 3.0):
+    for d in (1.0, 2.0, 3.0, 4.0):
         forms += [(f"hyst_queue_d{d:g}", "queue", d),
                   (f"hyst_wave_d{d:g}", "wave", d)]
     for name, on, d in forms:
