@@ -49,6 +49,14 @@ def main():
                         "of good tracking cost, which makes the "
                         "crash-early attractor return-competitive with "
                         "surviving - see results/README.md CACC analysis")
+    p.add_argument("--reward-clip", type=float, default=None,
+                   help="post-norm reward clip. Default: auto = "
+                        "max(2, collision_penalty/reward_norm) so a "
+                        "raised crash penalty is never silently clipped "
+                        "back to the default clip ceiling (the r4 "
+                        "penalty-5000 probe would otherwise test -2, "
+                        "not -5)")
+    p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -67,8 +75,11 @@ def main():
         coop = -1.0 if agent in ("ia2c", "ia2c_fp") else 0.9
         env = CACCEnv(EnvConfig(scenario=args.scenario, coop_gamma=coop,
                                 collision_penalty=args.collision_penalty))
+        rclip = (args.reward_clip if args.reward_clip is not None
+                 else max(2.0, args.collision_penalty / 1000.0))
         mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
-                           reward_norm=1000.0, lr_init=args.lr,
+                           reward_norm=1000.0, reward_clip=rclip,
+                           gamma=args.gamma, lr_init=args.lr,
                            entropy_coef=args.entropy,
                            lr_decay="linear")
         tcfg = TrainConfig(total_step=args.steps)
