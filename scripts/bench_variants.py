@@ -41,6 +41,13 @@ VARIANTS = {
     "bf16_unroll4": {"compute_dtype": "bfloat16", "scan_unroll": 4},
     "bf16_b1024_unroll2": {"compute_dtype": "bfloat16", "num_envs": 1024,
                            "scan_unroll": 2},
+    # HBM-traffic levers at the flagship shape: sparse_comm shrinks
+    # w_msg 5x (less per-iteration weight re-read traffic, measured
+    # neutral at f32); remat trades the ~9 GB/update BPTT residual
+    # traffic for ~1.3x recompute FLOPs — a win iff the update is
+    # HBM-bound (docs/ROOFLINE.md bytes ledger)
+    "bf16_sparse": {"compute_dtype": "bfloat16", "sparse_comm": True},
+    "bf16_remat": {"compute_dtype": "bfloat16", "remat": True},
 }
 
 
