@@ -48,6 +48,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=512)
     p.add_argument("--t", type=int, default=120)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
     B, T = args.num_envs, args.t
 
@@ -56,7 +58,8 @@ def main():
     res = {}
 
     for name, agent in (("full_ma2c_nc", "ma2c_nc"), ("ia2c", "ia2c")):
-        mcfg = ModelConfig(batch_size=T, num_envs=B)
+        mcfg = ModelConfig(batch_size=T, num_envs=B,
+                           compute_dtype=args.dtype)
         env = LargeGridEnv(ecfg)
         fns = make_a2c(env, mcfg, tcfg, agent=agent)
         ts = fns.init_state(jax.random.key(0))
