@@ -48,6 +48,17 @@ VARIANTS = {
     # HBM-bound (docs/ROOFLINE.md bytes ledger)
     "bf16_sparse": {"compute_dtype": "bfloat16", "sparse_comm": True},
     "bf16_remat": {"compute_dtype": "bfloat16", "remat": True},
+    # combos: remat (+6%), sparse (+4%) and B=768 (+5%) each won alone
+    # at bf16 — do the gains stack?
+    "bf16_b768_remat": {"compute_dtype": "bfloat16", "num_envs": 768,
+                        "remat": True},
+    "bf16_b768_sparse_remat": {"compute_dtype": "bfloat16",
+                               "num_envs": 768, "sparse_comm": True,
+                               "remat": True},
+    "bf16_sparse_remat": {"compute_dtype": "bfloat16",
+                          "sparse_comm": True, "remat": True},
+    "bf16_b2048_remat": {"compute_dtype": "bfloat16", "num_envs": 2048,
+                         "remat": True},
 }
 
 
