@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 512,
+def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 768,
                 grid_size: int = 5, **mcfg_overrides):
     import jax
 
@@ -33,11 +33,13 @@ def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 512,
     from deeprl_network_tpu.envs.network import TrafficNetworkEnv
     from deeprl_network_tpu.utils.rollout import make_a2c
 
-    # throughput vs cold-compile tradeoff on v5e (the axon remote-compile
-    # path bypasses the persistent cache): fused path at B=512 measures
-    # 1.15M env-steps/s/chip with a ~71s cold compile — B=1024 gains
-    # little over it and compiles far longer. Use 512 so a cold bench
-    # finishes comfortably inside a CI budget.
+    # flagship config of record (round-4 lever sweep,
+    # results/bench_variants_r4.jsonl): bf16 compute + B=768 +
+    # sparse_comm + remat measures 1.514M env-steps/s/chip — remat
+    # trades the ~9 GB/update BPTT residual HBM traffic for recompute
+    # FLOPs (+6% alone), sparse_comm shrinks w_msg re-reads 5x (+4%
+    # alone), and the B knee sits at 768; the gains stack
+    # (docs/ROOFLINE.md round-4 section).
     ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
     mcfg = ModelConfig(batch_size=120, num_envs=num_envs, **mcfg_overrides)
     tcfg = TrainConfig(total_step=1_000_000)
@@ -124,10 +126,11 @@ def main():
     baseline_sps = measure_baseline()
     print(f"baseline (reference-style host loop): {baseline_sps:.1f} "
           f"env-steps/s", file=sys.stderr)
-    # bf16 compute is the measured-best config: 1.224M vs 1.074M f32 at
-    # this shape on a clean chip (results/bench_variants_r3_clean.jsonl;
-    # analytic account in docs/ROOFLINE.md)
-    sps, loss = measure_tpu(compute_dtype="bfloat16")
+    # measured-best flagship (round-4 lever sweep): bf16 + B=768 +
+    # sparse_comm + remat, 1.514M env-steps/s/chip on a clean chip
+    # (results/bench_variants_r4.jsonl; account in docs/ROOFLINE.md)
+    sps, loss = measure_tpu(compute_dtype="bfloat16", sparse_comm=True,
+                            remat=True)
     print(f"fused TPU train step: {sps:.1f} env-steps/s/chip "
           f"(loss {loss:.3f})", file=sys.stderr)
     print(json.dumps({
