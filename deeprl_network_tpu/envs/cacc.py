@@ -169,6 +169,16 @@ class CACCEnv(Env):
         non-learned adaptive cruise control under this action table."""
         return jnp.full((self.n_agent,), 3, jnp.int32)
 
+    def controller_action(self, s: CACCState) -> jax.Array:
+        """Kickstart teacher: the fixed full-gain OVM controller.
+        CPU-verified to survive BOTH scenarios on every seed tried
+        (slow-down: 600/600 steps, zero collisions, return ~-918k raw) —
+        which makes it the reliable escape from the crash-basin
+        exploration trap that the raised collision penalty alone does
+        not fully remove (round-4 probe: 3-4/6 NC seeds solve at
+        penalty 5000 vs ~1/3 at 1000; results/README.md CACC)."""
+        return self.greedy_action(s)
+
     def step(self, s: CACCState, action: jax.Array
              ) -> Tuple[CACCState, jax.Array, jax.Array, jax.Array,
                         Dict[str, jax.Array]]:

@@ -147,7 +147,8 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
     if use_kick and (type(env).controller_action
                      is _BaseEnv.controller_action):
         raise ValueError(f"kickstart_coef needs {type(env).__name__}."
-                         "controller_action (ATSC envs only)")
+                         "controller_action (implemented by the ATSC "
+                         "envs — hysteresis — and CACC — fixed-gain OVM)")
     kick_horizon = max(mcfg.kickstart_ratio * tcfg.total_step, 1.0)
 
     def _prep_params(params):

@@ -57,6 +57,12 @@ def main():
                         "penalty-5000 probe would otherwise test -2, "
                         "not -5)")
     p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--kickstart", type=float, default=0.0,
+                   help="CE weight toward the fixed-gain OVM teacher "
+                        "(CACCEnv.controller_action), annealed to 0 by "
+                        "kickstart-ratio * steps — the same decisive "
+                        "ingredient as the ATSC recipe")
+    p.add_argument("--kickstart-ratio", type=float, default=0.5)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -81,6 +87,8 @@ def main():
                            reward_norm=1000.0, reward_clip=rclip,
                            gamma=args.gamma, lr_init=args.lr,
                            entropy_coef=args.entropy,
+                           kickstart_coef=args.kickstart,
+                           kickstart_ratio=args.kickstart_ratio,
                            lr_decay="linear")
         tcfg = TrainConfig(total_step=args.steps)
         fns = make_a2c(env, mcfg, tcfg, agent=agent)

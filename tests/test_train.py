@@ -264,9 +264,14 @@ def test_switch_penalty_shapes_training_reward_only():
 
 def test_shaping_rejected_off_fused_or_without_hooks():
     env_cacc = CACCEnv(EnvConfig(scenario="cacc_catchup", episode_length=40))
-    with pytest.raises(ValueError):
-        make_a2c(env_cacc, ModelConfig(batch_size=8, kickstart_coef=1.0),
-                 TrainConfig(total_step=100), agent="ia2c")
+    # kickstart on CACC is SUPPORTED since round 4 (fixed-gain OVM
+    # teacher, CACCEnv.controller_action) — must build, not raise
+    fns = make_a2c(env_cacc, ModelConfig(batch_size=8, kickstart_coef=1.0,
+                                         num_envs=2),
+                   TrainConfig(total_step=100), agent="ia2c")
+    assert fns.train_step is not None
+    # switch-cost shaping needs prev_action (ATSC phase memory): still
+    # rejected on CACC
     with pytest.raises(ValueError):
         make_a2c(env_cacc, ModelConfig(batch_size=8, switch_penalty=1.0),
                  TrainConfig(total_step=100), agent="ia2c")
