@@ -161,6 +161,14 @@ class TrainConfig:
     total_step: int = 1_000_000
     test_interval: int = 20_000
     log_interval: int = 10_000
+    save_interval: int = 0      # checkpoint cadence in env steps;
+                                # 0 = save on every log interval (the
+                                # round-3 behavior). The r4 CLI-vs-bench
+                                # run measured per-log-interval orbax
+                                # saves as the main residual CLI
+                                # overhead (results/README.md) — set
+                                # this larger for throughput-sensitive
+                                # runs.
 
 
 @dataclass(frozen=True)

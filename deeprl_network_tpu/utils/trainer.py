@@ -85,6 +85,10 @@ class Trainer:
         self.counter = Counter(cfg.train.total_step,
                                cfg.train.test_interval,
                                cfg.train.log_interval)
+        # decoupled checkpoint cadence (TrainConfig.save_interval);
+        # <= 0 keeps the save-on-log behavior
+        self._save_every = int(getattr(cfg.train, "save_interval", 0))
+        self._next_save = self._save_every
         # csv/jsonl plus TensorBoard scalars under log/ (the reference's
         # TF1 summary_writer surface)
         self.train_writer = MetricWriter(self.dirs["data"], "train_log",
@@ -105,6 +109,9 @@ class Trainer:
             if restored is not None:
                 ts = restored
                 self.counter.fast_forward(int(ts.step))
+                if self._save_every > 0:
+                    self._next_save = (int(ts.step) // self._save_every
+                                       + 1) * self._save_every
                 log.info("restored checkpoint at step %d", self.counter.cur_step)
         if self.profile:
             # device trace of a few steady-state updates (SURVEY.md
@@ -158,6 +165,11 @@ class Trainer:
                 window_metrics = []
                 # checkpoint save must run on EVERY process (orbax
                 # coordinates sharded-array writes across hosts)
+                if self._save_every <= 0:
+                    self.ckpt.save(self.counter.cur_step, ts)
+            if (self._save_every > 0
+                    and self.counter.cur_step >= self._next_save):
+                self._next_save += self._save_every
                 self.ckpt.save(self.counter.cur_step, ts)
             if (self.counter.should_test() and self.in_train_test
                     and self.primary):
