@@ -63,8 +63,14 @@ class ModelConfig:
                                 # the policy input (reference atsc_env.py
                                 # _get_state ~L340: MA2C variants see
                                 # neighbor obs scaled by coop_gamma;
-                                # SURVEY 2.2 item 6 [M]). Off by default;
-                                # A/B measured in results/README.md.
+                                # SURVEY 2.2 item 6 [M]). Off by default:
+                                # the r4 3-seed A/B (results/README.md
+                                # "neighbor_obs A/B") measured ON ~+30%
+                                # at 150M (every ON seed beats every OFF
+                                # seed) but the 600M headline recipe
+                                # reached -128k with OFF — ON is the
+                                # budget-constrained accelerator, OFF
+                                # the headline default.
     # TPU-native additions (no reference equivalent):
     num_envs: int = 1           # B parallel env instances per replica
     remat: bool = False         # rematerialize BPTT activations: ~10x less
