@@ -146,11 +146,25 @@ class CACCEnv(Env):
         frac = jnp.clip(t.astype(jnp.float32) * c.dt / c.slowdown_t, 0.0, 1.0)
         return c.slowdown_v0 + (c.v_star - c.slowdown_v0) * frac
 
+    def _v_target(self, t: jax.Array) -> jax.Array:
+        """Velocity target the w_v cost (and obs v-error) is charged
+        against at step t. cfg.v_target="fixed": constant v_star (the
+        r1-r4 engine, and the naive reading of the reference reward [M]).
+        "profile": the leader's scenario profile — for slow-down the
+        30->15 ramp, which removes the ~-900k of UNAVOIDABLE ramp-tracking
+        cost that otherwise makes crashing return-optimal (round-5 reward
+        decomposition; the reference must do the equivalent for its
+        teacher-free learners to prefer survival, SURVEY section 6 CACC
+        row). Identical for catchup (leader cruises at v_star)."""
+        if self.cfg.v_target == "fixed":
+            return jnp.asarray(self.cfg.v_star, jnp.float32)
+        return self._leader_velocity(t)
+
     def _obs(self, s: CACCState) -> jax.Array:
         c = self.cfg
         v_prev = jnp.concatenate([s.v_lead[None], s.v[:-1]])
         ob = jnp.stack([
-            (s.v - c.v_star) / c.v_star,
+            (s.v - self._v_target(s.t)) / c.v_star,
             (v_prev - s.v) / 5.0,
             (s.h - c.h_star) / c.h_star,
             s.u / c.u_max,
@@ -200,8 +214,9 @@ class CACCEnv(Env):
         horizon = t_new >= c.episode_length
         done = collision | horizon
 
+        v_tgt = self._v_target(t_new)
         cost = (c.w_h * (h_new - c.h_star) ** 2
-                + c.w_v * (v_new - c.v_star) ** 2
+                + c.w_v * (v_new - v_tgt) ** 2
                 + c.w_u * u ** 2)
         reward = jnp.where(collision, -c.collision_penalty, -cost)
 
@@ -209,5 +224,5 @@ class CACCEnv(Env):
                           t=t_new, done=done)
         info = {"collision": collision,
                 "headway_err": jnp.mean(jnp.abs(h_new - c.h_star)),
-                "velocity_err": jnp.mean(jnp.abs(v_new - c.v_star))}
+                "velocity_err": jnp.mean(jnp.abs(v_new - v_tgt))}
         return s_new, self._obs(s_new), reward.astype(jnp.float32), done, info

@@ -179,7 +179,15 @@ class _BaseAgent:
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if self.agent_name == "ia2c_cu":
-            params = consensus_update(params, self.neighbor_mask)
+            if self.mcfg.consensus_masked:
+                obs_mask = np.zeros((self.n_agent, max(self.n_s_ls)),
+                                    np.float32)
+                for i, ns in enumerate(self.n_s_ls):
+                    obs_mask[i, :ns] = 1.0
+                params = consensus_update(params, self.neighbor_mask,
+                                          self.spec.action_mask, obs_mask)
+            else:
+                params = consensus_update(params, self.neighbor_mask)
         return params, opt_state, stats
 
     def save(self, model_dir: str, step: Optional[int] = None) -> None:

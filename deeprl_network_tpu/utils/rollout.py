@@ -426,7 +426,12 @@ def make_a2c(env, mcfg: ModelConfig, tcfg: TrainConfig, agent: str = "ia2c",
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         if consensus:
-            params = consensus_update(params, env.spec.neighbor_mask)
+            if mcfg.consensus_masked:
+                params = consensus_update(params, env.spec.neighbor_mask,
+                                          env.spec.action_mask,
+                                          env.spec.obs_mask)
+            else:
+                params = consensus_update(params, env.spec.neighbor_mask)
 
         new_ts = TrainState(
             params=params, opt_state=opt_state, env_state=env_state,

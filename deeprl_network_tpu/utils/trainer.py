@@ -169,7 +169,12 @@ class Trainer:
                     self.ckpt.save(self.counter.cur_step, ts)
             if (self._save_every > 0
                     and self.counter.cur_step >= self._next_save):
-                self._next_save += self._save_every
+                # ratchet PAST the current step (like Counter.fast_forward):
+                # a single +interval advance falls behind whenever
+                # save_interval < steps_per_update and then saves on every
+                # update forever (ADVICE r4)
+                self._next_save = (self.counter.cur_step // self._save_every
+                                   + 1) * self._save_every
                 self.ckpt.save(self.counter.cur_step, ts)
             if (self.counter.should_test() and self.in_train_test
                     and self.primary):

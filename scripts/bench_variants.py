@@ -98,8 +98,11 @@ def main():
                 raise
             emit({"variant": name, "unsupported": str(e)})
             continue
-        except Exception as e:  # e.g. device OOM at the largest B —
-            # record it and keep the rest of the sweep alive
+        except (RuntimeError, MemoryError, jax.errors.JaxRuntimeError) as e:
+            # device/runtime failures (e.g. OOM at the largest B): record
+            # and keep the rest of the sweep alive. Programming errors
+            # (TypeError/AttributeError from a typo'd kwarg) propagate —
+            # a broad catch silently dropped broken variants (ADVICE r4)
             emit({"variant": name, "error": f"{type(e).__name__}: {e}"[:400]})
             continue
         emit({"variant": name, "env_steps_per_s": round(sps, 1),

@@ -36,7 +36,10 @@ def np_step(c, scenario, h, v, v_lead, t, actions):
         v_lead2 = c.slowdown_v0 + (c.v_star - c.slowdown_v0) * frac
     v_prev2 = np.concatenate([[v_lead2], v2[:-1]])
     h2 = h + c.dt * (v_prev2 - v2)
-    cost = (c.w_h * (h2 - c.h_star) ** 2 + c.w_v * (v2 - c.v_star) ** 2
+    # velocity target per EnvConfig.v_target: "profile" charges against
+    # the leader profile at t2 (== v_lead2), "fixed" against constant v*
+    v_tgt = v_lead2 if c.v_target == "profile" else c.v_star
+    cost = (c.w_h * (h2 - c.h_star) ** 2 + c.w_v * (v2 - v_tgt) ** 2
             + c.w_u * u ** 2)
     collision = h2.min() < c.h_min
     r = np.full_like(cost, -c.collision_penalty) if collision else -cost
