@@ -21,14 +21,16 @@ import time
 import numpy as np
 
 
-def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 768,
-                grid_size: int = 5, **mcfg_overrides):
+def measure_tpu(seconds_budget: float = 45.0, num_envs: int = 768,
+                grid_size: int = 5, scenario: str = "grid",
+                **mcfg_overrides):
     import jax
 
     from deeprl_network_tpu.utils.compilation_cache import enable
     enable()
 
     from deeprl_network_tpu.config import EnvConfig, ModelConfig, TrainConfig
+    from deeprl_network_tpu.envs.cacc import CACCEnv
     from deeprl_network_tpu.envs.grid import LargeGridEnv, build_grid_topology
     from deeprl_network_tpu.envs.network import TrafficNetworkEnv
     from deeprl_network_tpu.utils.rollout import make_a2c
@@ -39,15 +41,23 @@ def measure_tpu(seconds_budget: float = 20.0, num_envs: int = 768,
     # trades the ~9 GB/update BPTT residual HBM traffic for recompute
     # FLOPs (+6% alone), sparse_comm shrinks w_msg re-reads 5x (+4%
     # alone), and the B knee sits at 768; the gains stack
-    # (docs/ROOFLINE.md round-4 section).
-    ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
+    # (docs/ROOFLINE.md round-4 section). seconds_budget=45 since r5:
+    # at 20s the run-to-run session lottery was +-5% (VERDICT r4
+    # Weak #1); the longer window brings cold-process spread under 2%.
     mcfg = ModelConfig(batch_size=120, num_envs=num_envs, **mcfg_overrides)
     tcfg = TrainConfig(total_step=1_000_000)
-    if grid_size != 5:
+    if scenario.startswith("cacc"):
+        # the BASELINE.json north-star shape: 8-vehicle platoon (VERDICT
+        # r4 Missing #4 — the old B=64 side number predated every r4
+        # lever; the env is tiny, so the B knee sits far higher)
+        env = CACCEnv(EnvConfig(scenario=scenario, coop_gamma=0.9))
+    elif grid_size != 5:
         # N = grid_size^2 agents: the scaling shape where the dense
         # [N,N] comm blocks stop being free and sparse_comm should win
+        ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
         env = TrafficNetworkEnv(ecfg, build_grid_topology(ecfg, grid_size))
     else:
+        ecfg = EnvConfig(scenario="large_grid", coop_gamma=0.9)
         env = LargeGridEnv(ecfg)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
     t0 = time.perf_counter()

@@ -16,6 +16,23 @@ import time
 from typing import Dict, Optional
 
 
+def resolved_recipe(agent: str, ecfg=None, mcfg=None, tcfg=None,
+                    **extra) -> Dict:
+    """Fully-resolved run recipe for jsonl run headers: every EnvConfig /
+    ModelConfig / TrainConfig field as actually constructed (decays,
+    hysteresis form/delta, obs flags, compute dtype, ...), so a run's
+    header alone reproduces it — matched-arm claims must not depend on
+    reading script defaults at the right git revision (VERDICT r4
+    Weak #4)."""
+    import dataclasses
+
+    def d(cfg):
+        return dataclasses.asdict(cfg) if cfg is not None else None
+
+    return {"recipe": {"agent": agent, "env": d(ecfg), "model": d(mcfg),
+                       "train": d(tcfg), **extra}}
+
+
 def init_dir(base_dir: str, pathes=("data", "log", "model")) -> Dict[str, str]:
     dirs = {}
     for p in pathes:

@@ -59,6 +59,26 @@ VARIANTS = {
                           "sparse_comm": True, "remat": True},
     "bf16_b2048_remat": {"compute_dtype": "bfloat16", "num_envs": 2048,
                          "remat": True},
+    # round-5: CACC throughput of record (VERDICT r4 Missing #4 — the
+    # BASELINE.json north-star names CACC env-steps/s/chip but the only
+    # number was an r3 B=64 side measurement with none of the r4
+    # levers). The env is 8 agents / 4 obs dims, so the chip is
+    # dispatch/underfill-bound until B is large: sweep the knee.
+    "cacc_f32_b64": {"scenario": "cacc_catchup", "num_envs": 64},
+    "cacc_bf16_b256": {"scenario": "cacc_catchup", "num_envs": 256,
+                       "compute_dtype": "bfloat16"},
+    "cacc_bf16_b1024": {"scenario": "cacc_catchup", "num_envs": 1024,
+                        "compute_dtype": "bfloat16"},
+    "cacc_bf16_b4096": {"scenario": "cacc_catchup", "num_envs": 4096,
+                        "compute_dtype": "bfloat16"},
+    "cacc_bf16_b8192": {"scenario": "cacc_catchup", "num_envs": 8192,
+                        "compute_dtype": "bfloat16"},
+    "cacc_bf16_b4096_remat": {"scenario": "cacc_catchup",
+                              "num_envs": 4096,
+                              "compute_dtype": "bfloat16", "remat": True},
+    "cacc_bf16_b16384": {"scenario": "cacc_catchup", "num_envs": 16384,
+                         "compute_dtype": "bfloat16"},
+    "cacc_f32_b4096": {"scenario": "cacc_catchup", "num_envs": 4096},
 }
 
 
@@ -79,6 +99,8 @@ def main():
         if sink is not sys.stdout:
             print(json.dumps(row), file=sys.stderr, flush=True)
 
+    import jax  # for the runtime-error classes in the except below
+
     from bench import measure_tpu
 
     emit({"run": vars(args)})
@@ -86,7 +108,8 @@ def main():
         over = dict(VARIANTS[name.strip()])
         kw = dict(seconds_budget=args.seconds,
                   num_envs=over.pop("num_envs", args.num_envs),
-                  grid_size=over.pop("grid_size", 5))
+                  grid_size=over.pop("grid_size", 5),
+                  scenario=over.pop("scenario", "grid"))
         t0 = time.time()
         try:
             sps, loss = measure_tpu(**kw, **over)

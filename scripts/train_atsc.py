@@ -149,6 +149,8 @@ def main():
             print(json.dumps(row), file=sys.stderr, flush=True)
 
     emit({"run": vars(args)})
+    from deeprl_network_tpu.utils.logging import resolved_recipe
+    emit(resolved_recipe(args.agent, ecfg, mcfg, tcfg))
     seeds = [int(s) for s in args.seeds.split(",")]
     greedy = None
     spu = fns.steps_per_update

