@@ -184,14 +184,51 @@ class CACCEnv(Env):
         return jnp.full((self.n_agent,), 3, jnp.int32)
 
     def controller_action(self, s: CACCState) -> jax.Array:
-        """Kickstart teacher: the fixed full-gain OVM controller.
-        CPU-verified to survive BOTH scenarios on every seed tried
-        (slow-down: 600/600 steps, zero collisions, return ~-918k raw) —
-        which makes it the reliable escape from the crash-basin
-        exploration trap that the raised collision penalty alone does
-        not fully remove (round-4 probe: 3-4/6 NC seeds solve at
-        penalty 5000 vs ~1/3 at 1000; results/README.md CACC)."""
+        """STRONGEST known hand controller (naive baseline of record and
+        kickstart teacher).
+
+        catchup, and any scenario under v_target="fixed": the full-gain
+        OVM law — near-optimal there (its fixed-mode slow-down return
+        -915k sits within 2% of the -895k unavoidable floor; round-5
+        decomposition).
+
+        slow-down under v_target="profile" (spec of record): the
+        spacing-corrected one-step greedy — per vehicle, pick the gain
+        pair whose next-step state minimizes the true cost with the
+        velocity target corrected by the headway error
+        (v_des = v_profile + k_h (h - h*), k_h = 5 from the round-5
+        sweep). Survives noise-free at ~-4.3k raw vs the OVM law's
+        -249k and the ~-30k crash-optimal return, which is what makes
+        survival return-preferred and the naive bar honest
+        (scripts/cacc_reward_decompose.py)."""
+        if self.scenario == "slowdown" and self.cfg.v_target == "profile":
+            return self._spacing_greedy_action(s)
         return self.greedy_action(s)
+
+    _SPACING_KH = 5.0   # headway->velocity correction gain (r5 sweep:
+                        # 2-8 all survive, 5 is the flattest optimum for
+                        # the non-sequential form)
+
+    def _spacing_greedy_action(self, s: CACCState) -> jax.Array:
+        """One-step-lookahead greedy over the 4-gain table, scored on the
+        spacing-corrected next-step cost. The headway prediction uses the
+        predecessor's CURRENT velocity (one joint vectorized pass; the
+        sequential exact form scores within ~15% of it: -3.7k vs -4.3k
+        noise-free)."""
+        c = self.cfg
+        v_prev = jnp.concatenate([s.v_lead[None], s.v[:-1]])
+        gains = jnp.asarray(OVM_GAINS)                       # [4, 2]
+        u = (gains[:, :1] * (self._ovm_velocity(s.h) - s.v)[None]
+             + gains[:, 1:] * (v_prev - s.v)[None])          # [4, n]
+        u = jnp.clip(u, -c.u_max, c.u_max)
+        vn = jnp.clip(s.v[None] + c.dt * u, 0.0, c.v_max)
+        hn = s.h[None] + c.dt * (v_prev[None] - vn)
+        v_tgt = self._v_target(s.t + 1)
+        v_des = v_tgt + self._SPACING_KH * (hn - c.h_star)
+        score = (c.w_h * (hn - c.h_star) ** 2
+                 + c.w_v * (vn - v_des) ** 2 + c.w_u * u ** 2)
+        score = jnp.where(hn < c.h_min, jnp.inf, score)
+        return jnp.argmin(score, axis=0).astype(jnp.int32)
 
     def step(self, s: CACCState, action: jax.Array
              ) -> Tuple[CACCState, jax.Array, jax.Array, jax.Array,

@@ -59,6 +59,30 @@ VARIANTS = {
                           "sparse_comm": True, "remat": True},
     "bf16_b2048_remat": {"compute_dtype": "bfloat16", "num_envs": 2048,
                          "remat": True},
+    # round-5 N-scaling at the FLAGSHIP lever set (VERDICT r4 Weak #6:
+    # the 4.5x sparse_comm claim predated bf16-era remat/B levers).
+    # B chosen to hold global agent-steps per update ~constant
+    # (N*B ~ 19.2k): 25*768 = 49*384 = 100*192.
+    "n25_flag_dense": {"compute_dtype": "bfloat16", "num_envs": 768,
+                       "remat": True},
+    "n25_flag_sparse": {"compute_dtype": "bfloat16", "num_envs": 768,
+                        "sparse_comm": True, "remat": True},
+    "n49_flag_dense": {"compute_dtype": "bfloat16", "grid_size": 7,
+                       "num_envs": 384, "remat": True},
+    "n49_flag_sparse": {"compute_dtype": "bfloat16", "grid_size": 7,
+                        "num_envs": 384, "sparse_comm": True,
+                        "remat": True},
+    "n100_flag_dense": {"compute_dtype": "bfloat16", "grid_size": 10,
+                        "num_envs": 192, "remat": True},
+    "n100_flag_sparse": {"compute_dtype": "bfloat16", "grid_size": 10,
+                         "num_envs": 192, "sparse_comm": True,
+                         "remat": True},
+    # larger-B sparse rows: at N=100 the per-agent state is small enough
+    # that the knee may sit higher once sparse packing removes the N^2
+    # blocks
+    "n100_flag_sparse_b384": {"compute_dtype": "bfloat16",
+                              "grid_size": 10, "num_envs": 384,
+                              "sparse_comm": True, "remat": True},
     # round-5: CACC throughput of record (VERDICT r4 Missing #4 — the
     # BASELINE.json north-star names CACC env-steps/s/chip but the only
     # number was an r3 B=64 side measurement with none of the r4

@@ -94,26 +94,26 @@ def test_learned_beats_greedy_small_grid():
 
 
 @slow
-def test_cacc_slowdown_solved():
-    """CACC slow-down is robustly solvable with the round-4 working
-    recipe (VERDICT r3 tasks 1/8): collision_penalty=5000 (post-norm
-    clip 5) + kickstart toward the fixed-gain OVM teacher annealed by
-    half-budget. MA2C_NC must end a CI-budget run out of the crash
-    regime: final-window collision rate <= 5e-3, episode length >= 500
-    of 600. Grounding: at the old default (penalty 1000, no teacher)
-    the crash regime is return-PREFERRED (crash-at-40 eval return
-    -233k vs surviving -950k raw — tracking costs ~1.5/step post-norm)
-    and the outcome was seed lottery (~1/3, cacc_nc_seedsweep_r3);
-    penalty 5000 alone lifts NC to 4/6 (cacc_penalty5k_r4.jsonl);
-    the kickstart lands every family's majority of seeds in the
-    surviving optimum (cacc_slowdown5k_kick_r4.jsonl)."""
+def test_cacc_slowdown_solved_teacher_free():
+    """CACC slow-down is solvable TEACHER-FREE at the default collision
+    penalty under the spec-of-record reward (EnvConfig.v_target =
+    "profile") — the paper's own claim (SURVEY section 6 CACC row),
+    which the r1-r4 fixed-v* engine provably could not reproduce
+    (crashing was return-optimal: ~-900k of the surviving return was
+    unavoidable ramp-tracking cost; scripts/cacc_reward_decompose.py and
+    results/README.md round 5). MA2C_NC must end a CI-budget run out of
+    the crash regime: final-window collision rate <= 5e-3, episode
+    length >= 500 of 600, with NO kickstart and NO raised penalty.
+    Grounding: the r5 teacher-free probe
+    (results/cacc_slowdown_profile_teacherfree_r5.jsonl) at 10M steps.
+    The r4 fixed-mode recipe (penalty 5000 + OVM kickstart,
+    cacc_slowdown5k_kick_r4.jsonl) remains the working recipe for
+    v_target="fixed" but is no longer the bar."""
     from deeprl_network_tpu.envs.cacc import CACCEnv
 
-    env = CACCEnv(EnvConfig(scenario="cacc_slowdown", coop_gamma=0.9,
-                            collision_penalty=5000.0))
+    env = CACCEnv(EnvConfig(scenario="cacc_slowdown", coop_gamma=0.9))
     mcfg = ModelConfig(batch_size=120, num_envs=64, reward_norm=1000.0,
-                       reward_clip=5.0, lr_decay="linear",
-                       kickstart_coef=1.0, kickstart_ratio=0.5)
+                       lr_decay="linear")
     tcfg = TrainConfig(total_step=6_000_000)
     fns = make_a2c(env, mcfg, tcfg, agent="ma2c_nc")
     ts = fns.init_state(jax.random.key(0))

@@ -128,6 +128,37 @@ def test_obs_shape_and_normalization():
     np.testing.assert_allclose(np.array(obs[1:]), 0.0, atol=1e-6)
 
 
+def test_spacing_controller_survives_slowdown():
+    """The profile-mode hand controller (controller_action on slow-down)
+    must survive the full noise-free episode with a raw return far above
+    the ~-30k crash-optimal bound — the property that makes survival
+    return-preferred and the naive baseline honest (round-5 reward
+    decomposition; scripts/cacc_reward_decompose.py)."""
+    env = make_env("cacc_slowdown")
+    c = env.cfg
+    assert c.v_target == "profile"     # spec of record since r5
+    state, _ = env.reset_with_noise(jnp.zeros(8), jnp.zeros(8))
+
+    def body(s, _):
+        a = env.controller_action(s)
+        s2, _, r, done, _ = env.step(s, a)
+        return s2, (r.sum(), s2.h.min(), done)
+
+    step = jax.jit(lambda s: jax.lax.scan(body, s, None,
+                                          length=c.episode_length))
+    sf, (rs, hmin, dones) = step(state)
+    assert not bool(dones[:-1].any()), "crashed before horizon"
+    assert float(np.min(np.array(hmin))) >= c.h_min
+    ret = float(np.sum(np.array(rs)))
+    assert ret > -10_000.0, ret        # measured noise-free: ~-4.3k
+    # and the fixed-mode controller stays the OVM law (near-optimal
+    # there): different action stream
+    env_fixed = make_env("cacc_slowdown", v_target="fixed")
+    sfx, _ = env_fixed.reset_with_noise(jnp.zeros(8), jnp.zeros(8))
+    np.testing.assert_array_equal(
+        np.array(env_fixed.controller_action(sfx)), np.full(8, 3))
+
+
 def test_episode_horizon():
     env = make_env(episode_length=5)
     state, _ = env.reset(jax.random.key(0))
