@@ -83,6 +83,9 @@ VARIANTS = {
     "n100_flag_sparse_b384": {"compute_dtype": "bfloat16",
                               "grid_size": 10, "num_envs": 384,
                               "sparse_comm": True, "remat": True},
+    "n100_flag_sparse_b768": {"compute_dtype": "bfloat16",
+                              "grid_size": 10, "num_envs": 768,
+                              "sparse_comm": True, "remat": True},
     # round-5: CACC throughput of record (VERDICT r4 Missing #4 — the
     # BASELINE.json north-star names CACC env-steps/s/chip but the only
     # number was an r3 B=64 side measurement with none of the r4
@@ -99,6 +102,9 @@ VARIANTS = {
                         "compute_dtype": "bfloat16"},
     "cacc_bf16_b4096_remat": {"scenario": "cacc_catchup",
                               "num_envs": 4096,
+                              "compute_dtype": "bfloat16", "remat": True},
+    "cacc_bf16_b8192_remat": {"scenario": "cacc_catchup",
+                              "num_envs": 8192,
                               "compute_dtype": "bfloat16", "remat": True},
     "cacc_bf16_b16384": {"scenario": "cacc_catchup", "num_envs": 16384,
                          "compute_dtype": "bfloat16"},
