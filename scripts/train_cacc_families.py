@@ -42,6 +42,12 @@ def main():
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--entropy", type=float, default=0.01)
+    p.add_argument("--entropy-decay", default="constant",
+                   choices=("constant", "linear"),
+                   help="annealing the entropy bonus matters for final "
+                        "tracking quality under the profile reward: the "
+                        "residual cost of a stochastic-mixing policy is "
+                        "action dither (u jumps between gain pairs)")
     p.add_argument("--collision-penalty", type=float, default=1000.0,
                    help="raw crash penalty (EnvConfig.collision_penalty). "
                         "At the 1000 default with reward_norm=1000 the "
@@ -97,6 +103,7 @@ def main():
                            reward_norm=args.reward_norm, reward_clip=rclip,
                            gamma=args.gamma, lr_init=args.lr,
                            entropy_coef=args.entropy,
+                           entropy_decay=args.entropy_decay,
                            kickstart_coef=args.kickstart,
                            kickstart_ratio=args.kickstart_ratio,
                            lr_decay="linear")
