@@ -50,6 +50,8 @@ def main():
     p.add_argument("--t", type=int, default=120)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--sparse-comm", action="store_true")
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
     B, T = args.num_envs, args.t
 
@@ -59,7 +61,9 @@ def main():
 
     for name, agent in (("full_ma2c_nc", "ma2c_nc"), ("ia2c", "ia2c")):
         mcfg = ModelConfig(batch_size=T, num_envs=B,
-                           compute_dtype=args.dtype)
+                           compute_dtype=args.dtype,
+                           sparse_comm=args.sparse_comm,
+                           remat=args.remat)
         env = LargeGridEnv(ecfg)
         fns = make_a2c(env, mcfg, tcfg, agent=agent)
         ts = fns.init_state(jax.random.key(0))
