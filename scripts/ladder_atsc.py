@@ -59,6 +59,8 @@ def run_variant(name, env_kw, model_kw, args, emit, baselines):
                        entropy_decay=args.entropy_decay,
                        reward_norm=args.reward_norm, **model_kw)
     tcfg = TrainConfig(total_step=args.steps)
+    from deeprl_network_tpu.utils.logging import resolved_recipe
+    emit({"variant": name, **resolved_recipe(agent, ecfg, mcfg, tcfg)})
     fns = make_a2c(env, mcfg, tcfg, agent=agent)
     spu = fns.steps_per_update
     total_updates = args.steps // spu

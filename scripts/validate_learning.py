@@ -41,6 +41,9 @@ def main():
                        reward_norm=1000.0, lr_init=args.lr)
     tcfg = TrainConfig(total_step=args.steps)
     env = CACCEnv(ecfg)
+    from deeprl_network_tpu.utils.logging import resolved_recipe
+    print(json.dumps(resolved_recipe(args.agent, ecfg, mcfg, tcfg)),
+          flush=True)
     fns = make_a2c(env, mcfg, tcfg, agent=args.agent)
     t0 = time.time()
     ts = fns.init_state(jax.random.key(args.seed))
