@@ -128,6 +128,18 @@ def test_obs_shape_and_normalization():
     np.testing.assert_allclose(np.array(obs[1:]), 0.0, atol=1e-6)
 
 
+def test_envconfig_validates_enum_fields():
+    """A typo'd hysteresis_on would silently fall through greedy_action's
+    string compare to "wave" and change the baseline bar / kickstart
+    teacher (ADVICE r4); v_target gates the CACC reward semantics.
+    Both must fail LOUDLY at construction."""
+    with pytest.raises(ValueError, match="hysteresis_on"):
+        EnvConfig(hysteresis_on="Queue")
+    with pytest.raises(ValueError, match="v_target"):
+        EnvConfig(v_target="leader")
+    EnvConfig(hysteresis_on="wave", v_target="fixed")   # valid forms ok
+
+
 def test_spacing_controller_survives_slowdown():
     """The profile-mode hand controller (controller_action on slow-down)
     must survive the full noise-free episode with a raw return far above
