@@ -59,6 +59,9 @@ VARIANTS = {
                           "sparse_comm": True, "remat": True},
     "bf16_b2048_remat": {"compute_dtype": "bfloat16", "num_envs": 2048,
                          "remat": True},
+    "bf16_b1024_sparse_remat": {"compute_dtype": "bfloat16",
+                                "num_envs": 1024, "sparse_comm": True,
+                                "remat": True},
     # round-5 N-scaling at the FLAGSHIP lever set (VERDICT r4 Weak #6:
     # the 4.5x sparse_comm claim predated bf16-era remat/B levers).
     # B chosen to hold global agent-steps per update ~constant
