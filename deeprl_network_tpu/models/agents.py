@@ -57,6 +57,9 @@ class _BaseAgent:
         amask = np.zeros((n, max(n_a_ls)), np.float32)
         for i, na in enumerate(n_a_ls):
             amask[i, :na] = 1.0
+        self.obs_mask = np.zeros((n, max(n_s_ls)), np.float32)
+        for i, ns in enumerate(n_s_ls):
+            self.obs_mask[i, :ns] = 1.0
         self.spec = PolicySpec(
             n_agent=n, n_s_max=max(n_s_ls), n_a_max=max(n_a_ls),
             n_fc=mcfg.num_fc, n_lstm=mcfg.num_lstm,
@@ -180,12 +183,9 @@ class _BaseAgent:
         params = optax.apply_updates(params, updates)
         if self.agent_name == "ia2c_cu":
             if self.mcfg.consensus_masked:
-                obs_mask = np.zeros((self.n_agent, max(self.n_s_ls)),
-                                    np.float32)
-                for i, ns in enumerate(self.n_s_ls):
-                    obs_mask[i, :ns] = 1.0
                 params = consensus_update(params, self.neighbor_mask,
-                                          self.spec.action_mask, obs_mask)
+                                          self.spec.action_mask,
+                                          self.obs_mask)
             else:
                 params = consensus_update(params, self.neighbor_mask)
         return params, opt_state, stats

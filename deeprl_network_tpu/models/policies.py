@@ -408,11 +408,18 @@ def consensus_update(params: PolicyParams, neighbor_mask: np.ndarray,
     only ever average shape-compatible weights — blind averaging of
     padded heads is destruction the reference could not express (VERDICT
     r4 Weak #2; A/B on Monaco-28 in results/README.md round 5). On
-    homogeneous specs (all-ones masks) both forms are identical.
+    homogeneous specs (all-ones masks) the actor/obs handling reduces
+    exactly to the blind average (unit-pinned).
 
     Leaves without a leading agent axis (e.g. CommNet's shared message
-    map) are left untouched; dense per-edge blocks [N, N, ...] average
-    block (i, j) only over neighbors k that also own an edge to j."""
+    map) are left untouched. Dense per-edge blocks [N, N, ...] average
+    block (i, j) only over neighbors k that also own an edge to j —
+    NOTE this differs from the blind form even on homogeneous graphs
+    (the blind mean includes zero non-edge blocks, pulling edge blocks
+    toward zero). IA2C_CU — the only consensus user — has comm type
+    NONE, so these leaves are None today; the branch exists so a
+    hypothetical comm+consensus variant averages shared edges rather
+    than shrinking them."""
     n = len(neighbor_mask)
     closed_np = neighbor_mask.astype(np.float32) + np.eye(n, dtype=np.float32)
     closed = jnp.asarray(closed_np)

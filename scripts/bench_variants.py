@@ -117,7 +117,11 @@ VARIANTS = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--seconds", type=float, default=20.0)
+    p.add_argument("--seconds", type=float, default=45.0,
+                   help="measure window per variant; 45 s matches "
+                        "bench.py — 20 s windows carry the +-5% "
+                        "session lottery (CLAUDE.md r5 bench "
+                        "discipline)")
     p.add_argument("--num-envs", type=int, default=512)
     p.add_argument("--variants",
                    default="f32,bf16,f32_pallas,bf16_pallas,"

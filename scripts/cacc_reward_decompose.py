@@ -42,14 +42,19 @@ from deeprl_network_tpu.envs.cacc import CACCEnv
 
 
 def rollout_teacher(cfg: EnvConfig):
-    """Full-gain OVM teacher on one noise-free episode; returns per-step
-    arrays (h, v, u, reward [n], collision) as numpy."""
+    """Full-gain OVM law on one noise-free episode; returns per-step
+    arrays (h, v, u, reward [n], collision) as numpy.
+
+    Uses greedy_action (always the OVM law) explicitly, NOT
+    controller_action: since r5 the latter dispatches to the
+    spacing-corrected greedy for profile-mode slow-down, and this
+    decomposition's subject is the OVM teacher trajectory."""
     env = CACCEnv(cfg)
     n = cfg.n_vehicle
     state, _ = env.reset_with_noise(jnp.zeros((n,)), jnp.zeros((n,)))
 
     def body(s, _):
-        a = env.controller_action(s)
+        a = env.greedy_action(s)
         s2, _, r, done, info = env.step(s, a)
         return s2, {"h": s2.h, "v": s2.v, "u": s2.u, "r": r,
                     "v_lead": s2.v_lead, "collision": info["collision"]}
@@ -146,7 +151,10 @@ def main():
 
     base = dict(scenario="cacc_slowdown", init_noise_h=0.0,
                 init_noise_v=0.0)
-    cfg = EnvConfig(**base)                       # v_target="fixed"
+    # the env's v_target does not matter here: the teacher rollout uses
+    # greedy_action (OVM, reward-independent) and every cost component
+    # is recomputed from the trajectory below
+    cfg = EnvConfig(**base)
     n, T = cfg.n_vehicle, cfg.episode_length
     seq = rollout_teacher(cfg)
     assert not seq["collision"].any(), "teacher crashed (unexpected)"
