@@ -54,14 +54,23 @@ def test_params_stay_replicated_and_envs_differ():
     assert not np.allclose(h[0], h[1])
 
 
-@pytest.mark.parametrize("agent", ["ia2c", "ma2c_nc"])
-def test_multi_device_update_equals_single_device(agent):
+@pytest.mark.parametrize("agent,levers", [
+    ("ia2c", {}),
+    ("ma2c_nc", {}),
+    # the flagship lever set of the bench of record: sparse_comm
+    # K-packing and remat inside the sharded scan must preserve the
+    # same DP-equivalence (r5; the multichip dryrun compiles this path,
+    # this pins its numerics)
+    ("ma2c_nc", {"sparse_comm": True, "remat": True}),
+])
+def test_multi_device_update_equals_single_device(agent, levers):
     """SURVEY.md Appendix C test 5, the strong form: because every env's
     PRNG stream hangs off its GLOBAL index, the same 4-env batch on a
     4-device mesh and on a 1-device mesh rolls out bit-identical
     trajectories, and the pmean'd gradient update equals the
     single-device batch-mean update up to float reassociation."""
     ecfg, mcfg, tcfg = cfgs()
+    mcfg = ModelConfig(**{**mcfg.__dict__, **levers})
     env = CACCEnv(ecfg)
     par1 = make_parallel_a2c(env, mcfg, tcfg, agent=agent,
                              mesh=make_mesh(n_devices=1),
